@@ -1,0 +1,22 @@
+"""Test harness configuration.
+
+Tests run on CPU with float64 enabled (the oracle precision) and an
+8-device virtual platform so multi-chip sharding tests exercise real
+``jax.sharding.Mesh`` collectives without TPU hardware.
+
+Note: pytest plugins import jax before this conftest runs, so platform
+selection must go through ``jax.config`` (effective until backend init)
+rather than environment variables.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,228 @@
+"""Wind-field models.
+
+The reference computes per-node wind samples ``u,v,w`` (ENU) and their nine
+spatial gradients in ``problem::modelWind`` (src/problem.cpp:475-757), then
+swizzles to NED inside ``dynamicConstraints`` (src/problem.cpp:970-981).
+Model selection by ``Pwindmodel``:
+
+    0 zero wind                       (src/problem.cpp:480-498)
+    1 linear boundary layer           (src/problem.cpp:501-531)
+    2 single thermal                  (sketched, src/problem.cpp:534-541)
+    3 gridded storm field, trilinear  (src/problem.cpp:544-693)
+    4 dual thermals (source+sink)     (sketched, src/problem.cpp:698-706)
+    5 cyclic wind                     (sketched, src/problem.cpp:709-730)
+
+Here each model is a *differentiable* pure function of ENU position: the
+gradient tensor is obtained by ``jax.jacfwd`` instead of hand-coded shape
+function derivatives — model 3's trilinear interpolation derivative is
+algebraically identical to the reference's eight-node hexahedron ``NwrtX/Y/Z``
+tables (src/problem.cpp:643-670, derived in matlab/tools/
+trilinear_shapefunctions.m), and comes for free here.
+
+The gridded field replaces the reference's MongoDB cache
+(``problem::cacheWind``, src/problem.cpp:371-469) with an in-memory array
+pytree loaded host-side (see tol_tpu.io and the native loader).  The
+reference keeps only the v-component live in model 3 (u/w accumulations
+commented out, src/problem.cpp:631-635, 682-692); ``WindGrid.live`` carries
+that mask and defaults to reference behaviour.
+
+All positions here are *aircraft-local NED* at the public API
+(``wind_ned``); conversion to the ENU field frame mirrors
+src/problem.cpp:550-553: ``x_enu = y_ned + east0, y_enu = x_ned + north0,
+z_enu = -z_ned + up0``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class WindGrid(NamedTuple):
+    """Uniform ENU wind grid (replaces the Mongo ``straka`` cache).
+
+    ``u/v/w`` have shape (nx, ny, nz) indexed by (east, north, up) cells;
+    ``origin`` is the ENU position of node [0,0,0]; ``spacing`` the (dx,dy,dz)
+    cell sizes (reference uses 150 m in all axes, include/problem.h:86-88).
+    ``live`` masks components, default (0,1,0) matching the reference's
+    v-only interpolation (src/problem.cpp:631-635).
+    """
+
+    origin: jax.Array   # (3,) ENU
+    spacing: jax.Array  # (3,)
+    u: jax.Array        # (nx, ny, nz)
+    v: jax.Array
+    w: jax.Array
+    live: jax.Array     # (3,) float mask over (u, v, w)
+
+
+class WindConfig(NamedTuple):
+    """Parameters for all wind models; ``model`` selects behaviour."""
+
+    model: int = 1
+    # model 1: linear boundary layer v_north = -vref * z_up / href
+    # (src/problem.cpp:504-505: Vref=2.4, href=10)
+    vref: float = 2.4
+    href: float = 10.0
+    # models 2/4: thermal centers / strengths (ref sketch src/problem.cpp:536-541)
+    xth: float = 0.0
+    yth: float = 0.0
+    vcore: float = 3.0
+    rlift: float = 30.0
+    xth2: float = 200.0
+    yth2: float = 0.0
+    vcore2: float = -3.0
+    rlift2: float = 30.0
+    # datum offset for gridded fields: local NED origin in field-ENU coords
+    # (ref override values src/problem.cpp:411-413)
+    east0: float = 17400.0
+    north0: float = 25800.0
+    up0: float = 200.0
+    grid: Optional[WindGrid] = None
+
+
+def _local_ned_to_field_enu(cfg: WindConfig, p_ned: jax.Array) -> jax.Array:
+    """src/problem.cpp:550-553 (model 3) / :522 (model 1 uses z only)."""
+    x_e = p_ned[1] + cfg.east0
+    y_n = p_ned[0] + cfg.north0
+    z_u = -p_ned[2] + cfg.up0
+    return jnp.stack([x_e, y_n, z_u])
+
+
+def _zero_wind(cfg: WindConfig, p_enu: jax.Array) -> jax.Array:
+    return jnp.zeros(3, dtype=p_enu.dtype)
+
+
+def _boundary_layer(cfg: WindConfig, p_enu: jax.Array) -> jax.Array:
+    """Linear boundary layer: v = -Vref*z/href (src/problem.cpp:522-524).
+
+    Note the reference evaluates this with the *local* altitude ``zs=-z_ned``
+    (no datum offset); we therefore subtract ``up0`` back out so model 1 is
+    datum-independent.
+    """
+    z_local = p_enu[2] - cfg.up0
+    v = -cfg.vref * z_local / cfg.href
+    zero = jnp.zeros((), dtype=p_enu.dtype)
+    return jnp.stack([zero, v, zero])
+
+
+def _thermal_updraft(p_enu, xth, yth, vcore, rlift):
+    """Gaussian thermal w_up = vcore * exp(-r^2 / rlift^2).
+
+    The reference sketch (src/problem.cpp:536-538) writes the NED-down
+    component ``wz = -Vcore*exp(...)``; in our ENU convention that is an
+    updraft of +vcore.
+    """
+    r2 = (p_enu[0] - xth) ** 2 + (p_enu[1] - yth) ** 2
+    return vcore * jnp.exp(-r2 / (rlift * rlift))
+
+
+def _thermal(cfg: WindConfig, p_enu: jax.Array) -> jax.Array:
+    w = _thermal_updraft(p_enu, cfg.xth, cfg.yth, cfg.vcore, cfg.rlift)
+    zero = jnp.zeros((), dtype=p_enu.dtype)
+    return jnp.stack([zero, zero, w])
+
+
+def _dual_thermal(cfg: WindConfig, p_enu: jax.Array) -> jax.Array:
+    """Source + sink pair (ref sketch src/problem.cpp:700-704)."""
+    w = _thermal_updraft(p_enu, cfg.xth, cfg.yth, cfg.vcore, cfg.rlift)
+    w = w + _thermal_updraft(p_enu, cfg.xth2, cfg.yth2, cfg.vcore2, cfg.rlift2)
+    zero = jnp.zeros((), dtype=p_enu.dtype)
+    return jnp.stack([zero, zero, w])
+
+
+def _cyclic(cfg: WindConfig, p_enu: jax.Array) -> jax.Array:
+    """Horizontal vortex about (xth, yth) (ref sketch src/problem.cpp:711-719)."""
+    dx = p_enu[0] - cfg.xth
+    dy = p_enu[1] - cfg.yth
+    r = jnp.sqrt(dx * dx + dy * dy)
+    safe_r = jnp.where(r > 0, r, 1.0)
+    wx = jnp.where(r > 0, -cfg.vcore * dy / safe_r, 0.0)
+    wy = jnp.where(r > 0, cfg.vcore * dx / safe_r, 0.0)
+    zero = jnp.zeros((), dtype=p_enu.dtype)
+    return jnp.stack([wx, wy, zero])
+
+
+def _trilinear(grid: WindGrid, p_enu: jax.Array) -> jax.Array:
+    """Trilinear interpolation on the gridded field.
+
+    Equivalent to the reference's eight-node hexahedron shape functions
+    N1..N8 (src/problem.cpp:617-635); cell search by floor-division replaces
+    the linear scans at src/problem.cpp:556-572.  Positions are clamped to
+    the grid interior so queries outside the cache extrapolate from the edge
+    cell (the reference would read out of bounds there).
+    """
+    rel = (p_enu - grid.origin) / grid.spacing
+    shape = jnp.array(grid.u.shape)
+    idx = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, shape - 2)
+    frac = rel - idx.astype(rel.dtype)
+    ix, iy, iz = idx[0], idx[1], idx[2]
+    zeta, eta, mu = frac[0], frac[1], frac[2]
+
+    def interp(field):
+        c000 = field[ix, iy, iz]
+        c100 = field[ix + 1, iy, iz]
+        c010 = field[ix, iy + 1, iz]
+        c110 = field[ix + 1, iy + 1, iz]
+        c001 = field[ix, iy, iz + 1]
+        c101 = field[ix + 1, iy, iz + 1]
+        c011 = field[ix, iy + 1, iz + 1]
+        c111 = field[ix + 1, iy + 1, iz + 1]
+        c00 = c000 * (1 - zeta) + c100 * zeta
+        c10 = c010 * (1 - zeta) + c110 * zeta
+        c01 = c001 * (1 - zeta) + c101 * zeta
+        c11 = c011 * (1 - zeta) + c111 * zeta
+        c0 = c00 * (1 - eta) + c10 * eta
+        c1 = c01 * (1 - eta) + c11 * eta
+        return c0 * (1 - mu) + c1 * mu
+
+    uvw = jnp.stack([interp(grid.u), interp(grid.v), interp(grid.w)])
+    return uvw * grid.live.astype(uvw.dtype)
+
+
+def wind_enu(cfg: WindConfig, p_enu: jax.Array) -> jax.Array:
+    """ENU wind (u east, v north, w up) at a field-ENU position.
+
+    ``cfg.model`` must be a static Python int (it selects code, mirroring the
+    ``switch (Pwindmodel)`` at src/problem.cpp:477).
+    """
+    model = int(cfg.model)
+    if model == 0:
+        return _zero_wind(cfg, p_enu)
+    if model == 1:
+        return _boundary_layer(cfg, p_enu)
+    if model == 2:
+        return _thermal(cfg, p_enu)
+    if model == 3:
+        if cfg.grid is None:
+            raise ValueError("wind model 3 requires a WindGrid")
+        return _trilinear(cfg.grid, p_enu)
+    if model == 4:
+        return _dual_thermal(cfg, p_enu)
+    if model == 5:
+        return _cyclic(cfg, p_enu)
+    raise ValueError(f"unknown wind model {model}")
+
+
+def wind_ned(cfg: WindConfig, p_ned: jax.Array) -> jax.Array:
+    """NED wind at an aircraft-local NED position.
+
+    Swizzle (Wx, Wy, Wz) = (v, u, -w), mirroring src/problem.cpp:970-972.
+    Fully differentiable in ``p_ned``.
+    """
+    w_enu = wind_enu(cfg, _local_ned_to_field_enu(cfg, p_ned))
+    return jnp.stack([w_enu[1], w_enu[0], -w_enu[2]])
+
+
+def wind_with_gradient_ned(cfg: WindConfig, p_ned: jax.Array):
+    """Wind vector and 3x3 spatial gradient in NED.
+
+    ``grad[i, j] = dW_i/dp_j`` — equivalent to the reference's swizzled
+    gradient table (src/problem.cpp:973-981) but computed by forward-mode AD
+    through the (differentiable) field model.
+    """
+    w = wind_ned(cfg, p_ned)
+    grad = jax.jacfwd(lambda p: wind_ned(cfg, p))(p_ned)
+    return w, grad

@@ -1,0 +1,68 @@
+"""Mission G7 — periodic guidance gait toward the goal course (ref: src/problemG7.cpp).
+
+Cost (src/problemG7.cpp:225-250):
+    F0 = 0.5 kT sum T_i^2 + kv ts dt / dist
+with dist the horizontal displacement between first and last node.  Default
+G7 gains (problems/G7/gains.param): kT=100, kv=0 — the speed term vanishes
+but is kept for non-default gains.
+
+Boundary (src/problemG7.cpp:258-296), 12 rows:
+    0: xf - x0 - dist cos(chi_d) = 0     (net displacement along the desired
+    1: yf - y0 - dist sin(chi_d) = 0      course chi_d = atan2(yg, xg))
+    2-10: z..T periodic
+    11: dist - dmax <= 0                 (inequality row; dmax is the
+                                          distance from node 0 to the goal)
+The reference's "kill shot" branch is stubbed off there
+(src/problem.cpp:341, src/problemG7.cpp:266-275) and rows 7/9 use
+phi_m = phi_0, dphi_m = dphi_0, i.e. plain periodicity.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from tol_tpu.config import Goal, ProblemConfig
+from tol_tpu.models.dynamics import IDX_T, NUM_VARS
+from tol_tpu.problems.seed import g7_seed_path, invert_flight_mechanics
+
+
+def make(cfg: ProblemConfig, goal: Goal, dtype):
+    gn = cfg.gains
+    ts = cfg.dims.ts
+    xg = jnp.asarray(goal.xg, dtype=dtype)
+    yg = jnp.asarray(goal.yg, dtype=dtype)
+    # Desired course from the leg origin (xi=yi=0) to the goal
+    # (src/problemG7.cpp:524).
+    chi_d = jnp.arctan2(yg, xg)
+
+    def _dist(z0, zT):
+        return jnp.sqrt((zT[0] - z0[0]) ** 2 + (zT[1] - z0[1]) ** 2)
+
+    def node_cost(z, dt):
+        return 0.5 * gn.kT * z[IDX_T] ** 2
+
+    def global_cost(z0, zT, dt):
+        return gn.kv * ts * dt / _dist(z0, zT)
+
+    def boundary(z0, zT, dt):
+        dist = _dist(z0, zT)
+        dmax = jnp.sqrt((xg - z0[0]) ** 2 + (yg - z0[1]) ** 2)
+        rows = [
+            zT[0] - z0[0] - dist * jnp.cos(chi_d),
+            zT[1] - z0[1] - dist * jnp.sin(chi_d),
+        ]
+        rows += [zT[k] - z0[k] for k in range(2, NUM_VARS)]
+        rows.append(dist - dmax)
+        return jnp.stack(rows)
+
+    is_ineq = np.zeros(NUM_VARS + 1, dtype=bool)
+    is_ineq[-1] = True  # dist <= dmax (src/problem.cpp:345-350)
+
+    def seed():
+        Z, dt = invert_flight_mechanics(
+            g7_seed_path(ts, chi_d, dtype=dtype), cfg.aircraft,
+            periodic_rates=False)
+        return Z, dt
+
+    return node_cost, global_cost, boundary, is_ineq, seed

@@ -1,0 +1,148 @@
+"""Seed-trajectory generation (SNOPT "InitialCond" equivalent).
+
+Both missions seed the solver with an analytic path whose states/controls are
+recovered by flight-mechanics inversion:
+
+  * G7: straight-line run toward the goal heading, rotated by the desired
+    course ``chi_d`` (src/problemG7.cpp:19-217; sinusoid degenerates to a
+    line since yAmp=0, src/problemG7.cpp:41-43).
+  * S10: one full circle of radius 100 m tangent at the origin
+    (src/problemS10.cpp:19-219).
+
+The inversion (identical blocks src/problemG7.cpp:100-172 and
+src/problemS10.cpp:94-175) maps path position/velocity/acceleration to
+``(Va, gam, chi, phi, CL, dphi, dCL, T)`` assuming zero wind (the reference
+comments out its wind lookup because the seed stays at z=0,
+src/problemG7.cpp:94).  Vectorized here: the per-node loop becomes array
+ops, and the while-loop course unwrap (src/problemG7.cpp:112-129) becomes
+``jnp.unwrap`` (same semantics: shift by 2*pi*m so successive differences
+lie in [-pi, pi]).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tol_tpu.config import GRAVITY, RHO, AircraftParams
+from tol_tpu.models.dynamics import NUM_VARS
+
+
+class SeedPath(NamedTuple):
+    """Analytic path samples at the ts+1 collocation nodes."""
+
+    pos: jax.Array   # (N, 3) NED
+    vel: jax.Array   # (N, 3)
+    acc: jax.Array   # (N, 3)
+    dt: jax.Array    # scalar time step
+    chi_offset: jax.Array  # added to raw course before unwrap (G7's chi_d)
+
+
+def invert_flight_mechanics(path: SeedPath, ac: AircraftParams,
+                            periodic_rates: bool) -> tuple[jax.Array, jax.Array]:
+    """Recover node decision variables from an analytic path.
+
+    Returns ``(Z, dt)`` with ``Z`` of shape (N, 11).  ``periodic_rates``
+    selects the S10 behaviour of back-filling node-0 dphi/dCL with the final
+    node's values (src/problemS10.cpp:210-211); G7 leaves them zero
+    (commented there, src/problemG7.cpp:212-215).
+    """
+    v = path.vel                       # zero wind: air-relative = inertial
+    speed = jnp.linalg.norm(v, axis=1)
+    Va = speed
+    chi_raw = jnp.arctan2(v[:, 1], v[:, 0]) + path.chi_offset
+    gam = jnp.arctan2(-v[:, 2], jnp.linalg.norm(v[:, :2], axis=1))
+    chi = jnp.unwrap(chi_raw)
+
+    r1 = v / speed[:, None]
+    # Specific-force demand perpendicular to the path: a_rel = acc - gravity
+    # (NED gravity = +g in z), an = (I - r1 r1^T) a_rel
+    # (src/problemG7.cpp:139-142).
+    a_rel = path.acc - jnp.array([0.0, 0.0, GRAVITY], dtype=v.dtype)
+    along = jnp.sum(r1 * a_rel, axis=1)
+    an = a_rel - r1 * along[:, None]
+    mag_an = jnp.linalg.norm(an, axis=1)
+    r3 = -an / mag_an[:, None]
+    # Only the z-component of r2 = r3 x r1-ish combination is needed for the
+    # bank angle (src/problemG7.cpp:151-155).
+    r2_3 = r3[:, 0] * r1[:, 1] - r3[:, 1] * r1[:, 0]
+    phi = jnp.arctan2(r2_3, r3[:, 2])
+
+    L = ac.mm * mag_an
+    CL = 2.0 * L / (RHO * Va * Va * ac.SS)
+    D = 0.5 * RHO * Va * Va * ac.SS * (ac.Cd0 + CL * CL / (jnp.pi * ac.AR * ac.ee))
+    T = ac.mm * along + D
+
+    # Finite-difference rate controls (src/problemG7.cpp:161-170).
+    dphi = jnp.diff(phi) / path.dt
+    dCL = jnp.diff(CL) / path.dt
+    if periodic_rates:
+        first_dphi, first_dCL = dphi[-1], dCL[-1]
+    else:
+        first_dphi = jnp.zeros((), dtype=v.dtype)
+        first_dCL = jnp.zeros((), dtype=v.dtype)
+    dphi = jnp.concatenate([first_dphi[None], dphi])
+    dCL = jnp.concatenate([first_dCL[None], dCL])
+
+    Z = jnp.zeros((v.shape[0], NUM_VARS), dtype=v.dtype)
+    Z = Z.at[:, 0:3].set(path.pos)
+    Z = Z.at[:, 3].set(Va)
+    Z = Z.at[:, 4].set(gam)
+    Z = Z.at[:, 5].set(chi)
+    Z = Z.at[:, 6].set(phi)
+    Z = Z.at[:, 7].set(CL)
+    Z = Z.at[:, 8].set(dphi)
+    Z = Z.at[:, 9].set(dCL)
+    Z = Z.at[:, 10].set(T)
+    return Z, path.dt
+
+
+def g7_seed_path(ts: int, chi_d: jax.Array, dtype=jnp.float64) -> SeedPath:
+    """Straight-line seed rotated to the goal course (src/problemG7.cpp:38-88).
+
+    tfinal=10s, xAmp=40m: positions advance along chi_d at 4 m/s; velocities
+    stay unrotated with ``chi_d`` added to the course angle instead
+    (src/problemG7.cpp:109).
+    """
+    tfinal, xAmp = 10.0, 40.0
+    dt = jnp.asarray(tfinal / ts, dtype=dtype)
+    t = jnp.arange(ts + 1, dtype=dtype) * dt
+    xs = xAmp / tfinal * t
+    zero = jnp.zeros_like(t)
+    # Rotate positions by yaw chi_d (src/problemG7.cpp:520-542).
+    pos = jnp.stack([xs * jnp.cos(chi_d), xs * jnp.sin(chi_d), zero], axis=1)
+    vel = jnp.stack([jnp.full_like(t, xAmp / tfinal), zero, zero], axis=1)
+    acc = jnp.zeros_like(pos)
+    return SeedPath(pos=pos, vel=vel, acc=acc, dt=dt,
+                    chi_offset=jnp.asarray(chi_d, dtype=dtype))
+
+
+def s10_seed_path(ts: int, dtype=jnp.float64, phase: float = 0.5 * jnp.pi) -> SeedPath:
+    """Circular loiter seed (src/problemS10.cpp:38-91).
+
+    tfinal=20s, radius 100m: the reference path x = A sin(wt) - A,
+    y = -A cos(wt) is one full lap of the circle centred at (-100, 0) (the
+    default S10 loiter goal sent by msl/mission.py:136) starting at
+    (-100, -100) — which *violates* the node-0 position pin at the origin
+    (src/problem.cpp:256-258), leaving SNOPT to absorb a 140 m
+    discontinuity.  The same circle passes through the origin a quarter
+    period later, so we default to ``phase = pi/2``: identical geometry and
+    winding, but consistent with the pinned first node (an interior-point
+    method starts dramatically better from a bound-feasible seed).  Pass
+    ``phase=0`` for the reference's exact seed.
+    """
+    tfinal, amp = 20.0, 100.0
+    dt = jnp.asarray(tfinal / ts, dtype=dtype)
+    t = jnp.arange(ts + 1, dtype=dtype) * dt
+    w = 2.0 * jnp.pi / tfinal
+    th = w * t + phase
+    xs = amp * jnp.sin(th) - amp
+    ys = -amp * jnp.cos(th)
+    zero = jnp.zeros_like(t)
+    pos = jnp.stack([xs, ys, zero], axis=1)
+    vel = jnp.stack([w * amp * jnp.cos(th), w * amp * jnp.sin(th), zero], axis=1)
+    acc = jnp.stack([-w * w * amp * jnp.sin(th), w * w * amp * jnp.cos(th), zero], axis=1)
+    return SeedPath(pos=pos, vel=vel, acc=acc, dt=dt,
+                    chi_offset=jnp.zeros((), dtype=dtype))

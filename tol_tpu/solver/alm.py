@@ -1,0 +1,316 @@
+"""Augmented-Lagrangian interior-point solver (the production path).
+
+Replaces SNOPT's SQP with a LANCELOT/NCL-style method tailored to batched
+TPU execution:
+
+    outer loop:  multiplier update  yhat <- yhat + c/gamma,
+                 penalty gamma and barrier mu annealing
+    inner loop:  damped Newton descent on the smooth merit
+
+        AL_mu(v) = f(v) + yhat^T c(v) + ||c(v)||^2 / (2 gamma)
+                   - mu * sum(log-barrier terms for l <= v <= u)
+
+Why AL instead of a classical SQP/IPM merit-line-search scheme: the tol
+NLPs are *degenerate* — e.g. the S10 loiter optimum rides a cost-flat
+altitude manifold, so the equality Jacobian loses rank (21+ dependent rows)
+and constraint multipliers are non-unique/unbounded.  SQP-type merit
+functions then reject essentially every Newton step (the tangential step
+component dwarfs the feasibility decrease), which is exactly the failure
+SNOPT's elastic mode papers over.  The augmented Lagrangian needs no
+constraint qualification: its inner problem is smooth and bound-
+constrained, every descent step is acceptable by plain Armijo, and the
+penalty term regularizes null directions automatically.
+
+The Newton step is computed in *saddle form* so the structured O(T)
+factorization applies unchanged (``kkt_structured``):
+
+    [ H(y) + Sigma + delta_w I   J^T       ] [dv]   [ -grad AL_mu ]
+    [ J                          -gamma I  ] [dw] = [ 0           ]
+
+with y = yhat + c/gamma (the AL multiplier view; eliminating dw recovers
+exactly the AL Newton system (H + J^T J/gamma + Sigma) dv = -grad AL_mu).
+
+Everything is one jittable ``lax.while_loop`` — thousands of instances
+batch in lock-step under ``vmap``, each with its own (mu, gamma, yhat).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tol_tpu.solver.canonical import CanonicalNLP
+
+_BIG = 1e19
+
+
+class ALMOptions(NamedTuple):
+    tol: float = 1e-8              # final KKT tolerance
+    feas_tol: float = 0.0          # extra absolute feasibility requirement
+    mu_init: float = 0.1
+    gamma_init: float = 0.1        # initial AL penalty (1/penalty weight)
+    gamma_min: float = 1e-8
+    gamma_shrink: float = 0.2
+    mu_shrink: float = 0.2
+    theta_mu: float = 1.2          # superlinear mu exponent
+    kappa_inner: float = 1.0       # inner tolerance = kappa_inner * mu
+    tau_min: float = 0.99
+    max_iter: int = 400
+    max_ls: int = 20
+    eta: float = 1e-4              # Armijo factor
+    delta_w_min: float = 1e-12
+    delta_w_max: float = 1e6
+    kappa_sigma: float = 1e10
+    bound_push: float = 1e-2
+    s_max: float = 100.0
+    verbose: bool = False
+
+
+class ALMState(NamedTuple):
+    v: jax.Array
+    yhat: jax.Array       # outer multiplier estimate
+    zl: jax.Array
+    zu: jax.Array
+    mu: jax.Array
+    gamma: jax.Array
+    delta_w: jax.Array
+    theta_ref: jax.Array  # feasibility at last outer update
+    it: jax.Array
+    converged: jax.Array
+    kkt_err: jax.Array
+
+
+class ALMResult(NamedTuple):
+    v: jax.Array
+    y: jax.Array          # final multiplier estimate (yhat + c/gamma)
+    zl: jax.Array
+    zu: jax.Array
+    f: jax.Array
+    iterations: jax.Array
+    converged: jax.Array
+    kkt_err: jax.Array
+    constr_viol: jax.Array
+
+
+def _inf_norm(x):
+    return jnp.max(jnp.abs(x)) if x.size else jnp.zeros(())
+
+
+def solve(
+    can: CanonicalNLP,
+    kkt_solve: Callable,
+    opts: ALMOptions = ALMOptions(),
+    v0: jax.Array | None = None,
+    y0: jax.Array | None = None,
+) -> ALMResult:
+    """Solve one canonical NLP instance.  vmap over leading axes to batch."""
+
+    lb, ub, fixed = can.lb, can.ub, can.fixed
+    has_lb = (lb > -_BIG) & ~fixed
+    has_ub = (ub < _BIG) & ~fixed
+
+    if v0 is None:
+        v0 = can.initial_point()
+    dtype = v0.dtype
+
+    grad_f = jax.grad(can.f)
+    grad_lag = jax.grad(lambda v, y: can.f(v) + can.c(v) @ y, argnums=0)
+
+    def lag_hvp(v, y, dv):
+        return jax.jvp(lambda v_: grad_lag(v_, y), (v,), (dv,))[1]
+
+    def interior_push(v):
+        pl = jnp.where(has_lb, lb + opts.bound_push * jnp.maximum(1.0, jnp.abs(lb)), -jnp.inf)
+        pu = jnp.where(has_ub, ub - opts.bound_push * jnp.maximum(1.0, jnp.abs(ub)), jnp.inf)
+        mid = 0.5 * (lb + ub)
+        both = has_lb & has_ub & (pl > pu)
+        v = jnp.clip(v, pl, pu)
+        v = jnp.where(both, mid, v)
+        return jnp.where(fixed, lb, v)
+
+    def al_value(v, yhat, gamma, mu):
+        dl = jnp.where(has_lb, v - lb, 1.0)
+        du = jnp.where(has_ub, ub - v, 1.0)
+        ok = jnp.all(dl > 0) & jnp.all(du > 0)
+        cv = can.c(v)
+        val = (can.f(v) + yhat @ cv + (cv @ cv) / (2.0 * gamma)
+               - mu * (jnp.sum(jnp.where(has_lb, jnp.log(dl), 0.0))
+                       + jnp.sum(jnp.where(has_ub, jnp.log(du), 0.0))))
+        return jnp.where(ok, val, jnp.inf)
+
+    def kkt_errors(v, y, zl, zu, mu):
+        """KKT error of the *original* NLP at multiplier estimate y."""
+        dl = jnp.where(has_lb, v - lb, 1.0)
+        du = jnp.where(has_ub, ub - v, 1.0)
+        r_d = grad_lag(v, y) - jnp.where(has_lb, zl, 0.0) + jnp.where(has_ub, zu, 0.0)
+        r_d = jnp.where(fixed, 0.0, r_d)
+        theta = can.c(v)
+        comp = jnp.concatenate([
+            jnp.where(has_lb, zl * dl - mu, 0.0),
+            jnp.where(has_ub, zu * du - mu, 0.0),
+        ])
+        nz = jnp.sum(has_lb) + jnp.sum(has_ub)
+        s_d = jnp.maximum(
+            opts.s_max,
+            (jnp.sum(jnp.abs(y)) + jnp.sum(jnp.abs(zl)) + jnp.sum(jnp.abs(zu)))
+            / jnp.maximum(1, can.m + nz)) / opts.s_max
+        s_c = jnp.maximum(
+            opts.s_max,
+            (jnp.sum(jnp.abs(zl)) + jnp.sum(jnp.abs(zu))) / jnp.maximum(1, nz)) / opts.s_max
+        e_d = _inf_norm(r_d) / s_d
+        e_p = _inf_norm(theta)
+        e_c = _inf_norm(comp) / s_c
+        return jnp.maximum(jnp.maximum(e_d, e_p), e_c), e_p, e_d, e_c
+
+    def init_state():
+        v = interior_push(v0)
+        mu = jnp.asarray(opts.mu_init, dtype)
+        dl = jnp.where(has_lb, v - lb, 1.0)
+        du = jnp.where(has_ub, ub - v, 1.0)
+        zl = jnp.where(has_lb, mu / dl, 0.0)
+        zu = jnp.where(has_ub, mu / du, 0.0)
+        yhat = jnp.zeros(can.m, dtype) if y0 is None else jnp.asarray(y0, dtype)
+        cv = can.c(v)
+        err, *_ = kkt_errors(v, yhat, zl, zu, 0.0)
+        return ALMState(
+            v=v, yhat=yhat, zl=zl, zu=zu, mu=mu,
+            gamma=jnp.asarray(opts.gamma_init, dtype),
+            delta_w=jnp.zeros((), dtype),
+            theta_ref=_inf_norm(cv),
+            it=jnp.zeros((), jnp.int32),
+            converged=err <= opts.tol,
+            kkt_err=err,
+        )
+
+    def step(st: ALMState) -> ALMState:
+        v, yhat, zl, zu = st.v, st.yhat, st.zl, st.zu
+        mu, gamma = st.mu, st.gamma
+        dl = jnp.where(has_lb, v - lb, 1.0)
+        du = jnp.where(has_ub, ub - v, 1.0)
+        sigma = jnp.where(has_lb, zl / dl, 0.0) + jnp.where(has_ub, zu / du, 0.0)
+
+        cv = can.c(v)
+        y_al = yhat + cv / gamma
+
+        # grad of AL_mu (with primal-dual barrier handled via sigma/rhs).
+        g_al = (grad_lag(v, y_al)
+                - jnp.where(has_lb, mu / dl, 0.0)
+                + jnp.where(has_ub, mu / du, 0.0))
+        rhs_v = jnp.where(fixed, 0.0, -g_al)
+        rhs_c = jnp.zeros(can.m, dtype)
+
+        delta_w = st.delta_w
+        gamma_rows = jnp.full((can.m,), 1.0, dtype) * gamma
+        dv, dw = kkt_solve(v, y_al, sigma, delta_w, gamma_rows, rhs_v, rhs_c)
+        bad = ~(jnp.all(jnp.isfinite(dv)) & jnp.all(jnp.isfinite(dw)))
+        dv = jnp.where(bad, 0.0, dv)
+        dw = jnp.where(bad, 0.0, dw)
+
+        # Curvature of the AL Hessian along the step: must be positive.
+        curv = (dv @ lag_hvp(v, y_al, dv) + jnp.sum(sigma * dv * dv)
+                + delta_w * (dv @ dv) + gamma * (dw @ dw))
+        curv_ok = curv > 0.0
+
+        tau = jnp.maximum(opts.tau_min, 1.0 - mu)
+
+        def ftb(slack, dslack):
+            ratio = jnp.where(dslack < 0, -tau * slack / jnp.where(dslack < 0, dslack, -1.0), 1.0)
+            return jnp.minimum(1.0, jnp.min(jnp.where(jnp.isfinite(ratio), ratio, 1.0)))
+
+        a_max = jnp.minimum(
+            ftb(jnp.where(has_lb, dl, 1.0), jnp.where(has_lb, dv, 0.0)),
+            ftb(jnp.where(has_ub, du, 1.0), jnp.where(has_ub, -dv, 0.0)),
+        )
+
+        # Plain Armijo on the smooth AL merit, trials in parallel.
+        al0 = al_value(v, yhat, gamma, mu)
+        d_al = g_al @ dv
+        alphas = a_max * (0.5 ** jnp.arange(opts.max_ls, dtype=dtype))
+        al_vals = jax.vmap(lambda a: al_value(v + a * dv, yhat, gamma, mu))(alphas)
+        ok = al_vals <= al0 + opts.eta * alphas * d_al
+        any_ok = jnp.any(ok)
+        alpha = jnp.where(any_ok, alphas[jnp.argmax(ok)], 0.0)
+        alpha = jnp.where(bad | ~curv_ok, 0.0, alpha)
+
+        reject = bad | ~curv_ok | ~any_ok
+        delta_next = jnp.where(
+            reject,
+            jnp.where(delta_w == 0.0, 1e-6,
+                      jnp.minimum(delta_w * 10.0, opts.delta_w_max)),
+            jnp.where(delta_w * 0.2 < opts.delta_w_min, 0.0, delta_w * 0.2),
+        )
+
+        v_n = v + alpha * dv
+
+        # Bound-dual updates along the realized move.
+        dzl = jnp.where(has_lb, (mu - zl * dl) / dl - zl / dl * (v_n - v), 0.0)
+        dzu = jnp.where(has_ub, (mu - zu * du) / du + zu / du * (v_n - v), 0.0)
+        a_dual = jnp.minimum(
+            ftb(jnp.where(has_lb, zl, 1.0), jnp.where(has_lb, dzl, 0.0)),
+            ftb(jnp.where(has_ub, zu, 1.0), jnp.where(has_ub, dzu, 0.0)),
+        )
+        zl_n = zl + a_dual * dzl
+        zu_n = zu + a_dual * dzu
+        dl_n = jnp.where(has_lb, v_n - lb, 1.0)
+        du_n = jnp.where(has_ub, ub - v_n, 1.0)
+        ks = opts.kappa_sigma
+        zl_n = jnp.where(has_lb, jnp.clip(zl_n, mu / (ks * dl_n), ks * mu / dl_n), 0.0)
+        zu_n = jnp.where(has_ub, jnp.clip(zu_n, mu / (ks * du_n), ks * mu / du_n), 0.0)
+
+        # ---- inner convergence test at the new point ----
+        c_n = can.c(v_n)
+        y_n = yhat + c_n / gamma
+        err_in, th_in, e_d_in, e_c_in = kkt_errors(v_n, y_n, zl_n, zu_n, mu)
+        inner_err = jnp.maximum(e_d_in, e_c_in)   # feasibility handled by outer
+        inner_done = inner_err <= opts.kappa_inner * mu
+
+        # ---- outer updates, applied only when the inner problem is done ----
+        # Multiplier update; shrink gamma unless feasibility improved enough.
+        theta_now = th_in
+        good_feas = theta_now <= 0.5 * st.theta_ref
+        gamma_n = jnp.where(
+            inner_done & ~good_feas,
+            jnp.maximum(opts.gamma_min, gamma * opts.gamma_shrink), gamma)
+        mu_min = opts.tol / 10.0
+        mu_n = jnp.where(
+            inner_done,
+            jnp.maximum(mu_min, jnp.minimum(opts.mu_shrink * mu, mu ** opts.theta_mu)),
+            mu)
+        yhat_n = jnp.where(inner_done, y_n, yhat)
+        theta_ref_n = jnp.where(inner_done, theta_now, st.theta_ref)
+
+        err0, viol, *_ = kkt_errors(v_n, y_n, zl_n, zu_n, 0.0)
+        conv = (err0 <= opts.tol) & (viol <= jnp.maximum(opts.feas_tol, opts.tol))
+
+        if opts.verbose:
+            jax.debug.print(
+                "it={it} mu={mu:.1e} gam={gam:.1e} err0={e:.3e} th={th:.3e} "
+                "in={inn:.2e} a={a:.2e} amax={am:.2e} dw={dw:.1e} f={f:.6e} "
+                "ok={ok} cv={cvt} outer={od} dal={dal:.2e} curv={curv:.2e} dAL0={d0:.3e} dALmin={dmin:.3e} ndv={ndv:.1e}",
+                it=st.it, mu=mu, gam=gamma, e=err0, th=viol, inn=inner_err,
+                a=alpha, am=a_max, dw=delta_w, f=can.f(v_n), ok=any_ok,
+                cvt=curv_ok, od=inner_done, dal=d_al, curv=curv, d0=al_vals[0]-al0, dmin=al_vals[-1]-al0, ndv=_inf_norm(dv))
+
+        new = ALMState(
+            v=v_n, yhat=yhat_n, zl=zl_n, zu=zu_n, mu=mu_n, gamma=gamma_n,
+            delta_w=delta_next, theta_ref=theta_ref_n, it=st.it + 1,
+            converged=conv, kkt_err=err0,
+        )
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(st.converged, a, b),
+            st._replace(it=st.it + 1), new)
+
+    def cond(st: ALMState):
+        return (~st.converged) & (st.it < opts.max_iter)
+
+    final = jax.lax.while_loop(cond, step, init_state())
+    cv = can.c(final.v)
+    y_fin = final.yhat + cv / final.gamma
+    _, viol, *_ = kkt_errors(final.v, y_fin, final.zl, final.zu, 0.0)
+    return ALMResult(
+        v=final.v, y=y_fin, zl=final.zl, zu=final.zu,
+        f=can.f(final.v), iterations=final.it, converged=final.converged,
+        kkt_err=final.kkt_err, constr_viol=viol,
+    )
