@@ -1,0 +1,86 @@
+"""Structured O(T) KKT backend vs dense oracle backend.
+
+The structured backend factorizes the same saddle system by chain
+elimination + border Schur complement; on positive-definite states the two
+must agree to machine precision.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tol_tpu.api import make_problem
+from tol_tpu.solver import canonicalize
+from tol_tpu.solver.kkt_dense import make_dense_kkt
+from tol_tpu.solver.kkt_condensed import make_condensed_kkt
+from tol_tpu.solver.kkt_structured import make_structured_kkt
+
+
+def _state(can, seed=0, y_scale=0.3):
+    rng = np.random.default_rng(seed)
+    lb, ub, fixed = can.bounds(can.nlp.inst0)
+    lb, ub, fixed = np.asarray(lb), np.asarray(ub), np.asarray(fixed)
+    v = np.asarray(can.initial_point())
+    v = np.clip(v + rng.normal(scale=0.01, size=v.shape), lb, ub)
+    v = jnp.asarray(np.where(fixed, lb, v))
+    y = jnp.asarray(rng.normal(scale=y_scale, size=can.m))
+    sigma = jnp.asarray(rng.uniform(0.1, 2.0, size=can.n))
+    rhs_v = jnp.where(jnp.asarray(fixed), 0.0, jnp.asarray(rng.normal(size=can.n)))
+    rhs_c = jnp.asarray(rng.normal(size=can.m))
+    return v, y, sigma, rhs_v, rhs_c
+
+
+@pytest.mark.parametrize("mission,ts", [("S10", 8), ("G7", 8), ("S10", 16)])
+def test_condensed_matches_dense(mission, ts):
+    """The condensed-primal backend solves the exact same saddle system."""
+    nlp = make_problem(mission, aircraft="tempest", ts=ts, wind_model=1)
+    can = canonicalize(nlp)
+    dense = make_dense_kkt(can)
+    cond = make_condensed_kkt(can)
+    v, y, sigma, rhs_v, rhs_c = _state(can)
+    dw = 300.0
+    dc = jnp.full((can.m,), 0.05)
+    dv_d, dy_d = dense(v, y, sigma, dw, dc, rhs_v, rhs_c)
+    dv_s, dy_s = cond(v, y, sigma, dw, dc, rhs_v, rhs_c)
+    scale = max(1.0, float(jnp.max(jnp.abs(dv_d))))
+    np.testing.assert_allclose(np.asarray(dv_s), np.asarray(dv_d), atol=1e-9 * scale)
+    yscale = max(1.0, float(jnp.max(jnp.abs(dy_d))))
+    np.testing.assert_allclose(np.asarray(dy_s), np.asarray(dy_d), atol=1e-8 * yscale)
+
+
+@pytest.mark.parametrize("mission,ts", [("S10", 8), ("G7", 8), ("S10", 16)])
+def test_structured_matches_dense(mission, ts):
+    nlp = make_problem(mission, aircraft="tempest", ts=ts, wind_model=1)
+    can = canonicalize(nlp)
+    dense = make_dense_kkt(can)
+    # convexify off: compare the *exact* systems (needs a PD shift).
+    struct = make_structured_kkt(can, convexify=False)
+    v, y, sigma, rhs_v, rhs_c = _state(can)
+    dw = 300.0  # large enough that every node block is PD
+    dc = jnp.full((can.m,), 0.05)
+    dv_d, dy_d = dense(v, y, sigma, dw, dc, rhs_v, rhs_c)
+    dv_s, dy_s = struct(v, y, sigma, dw, dc, rhs_v, rhs_c)
+    assert np.all(np.isfinite(np.asarray(dv_s)))
+    scale = float(jnp.max(jnp.abs(dv_d)))
+    np.testing.assert_allclose(np.asarray(dv_s), np.asarray(dv_d),
+                               atol=1e-9 * max(scale, 1.0))
+    np.testing.assert_allclose(np.asarray(dy_s), np.asarray(dy_d),
+                               atol=1e-9 * max(1.0, float(jnp.max(jnp.abs(dy_d)))))
+
+
+def test_convexified_backend_descent_directions():
+    """With convexify=True the solution is a descent direction for the
+    (regularized) system even where the exact Hessian is indefinite."""
+    nlp = make_problem("S10", aircraft="tempest", ts=8, wind_model=1)
+    can = canonicalize(nlp)
+    struct = make_structured_kkt(can, convexify=True)
+    v, y, sigma, rhs_v, rhs_c = _state(can, seed=3, y_scale=2.0)
+    dc = jnp.full((can.m,), 0.1)
+    dv, dy = struct(v, y, sigma, 0.0, dc, rhs_v, rhs_c)
+    assert np.all(np.isfinite(np.asarray(dv)))
+    assert np.all(np.isfinite(np.asarray(dy)))
+    # For rhs_c = 0 the step solves the convexified AL Newton system; with
+    # rhs_v = -g it must satisfy g @ dv < 0.  Emulate that contract.
+    dv2, _ = struct(v, y, sigma, 0.0, dc, rhs_v, jnp.zeros(can.m))
+    assert float(rhs_v @ dv2) > 0.0  # dv2 aligned with -g (rhs_v = -g)

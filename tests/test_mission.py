@@ -1,0 +1,114 @@
+"""Receding-horizon mission loop tests (ref: msl/mission.py, msl/trajectory.py).
+
+The reference's mission layer was only ever exercised against live SITL
+(SURVEY.md section 4); here the loop runs against a fake autopilot and a
+fake leg solver, so the stitching / goal-switching / completion logic has
+deterministic coverage.
+"""
+
+import json
+import math
+
+import numpy as np
+import pytest
+
+from tol_tpu.config import Goal
+from tol_tpu.mission import FakeAutopilot, Mission, MissionConfig, Trajectory
+from tol_tpu.mission.autopilot import haversine_enu
+
+
+def fake_leg_solver(mission_type, goal, v0=None, n=11, dt=0.5):
+    """Synthesizes a straight-line (G7) or circular (S10) leg document with
+    the snopt_results.json schema."""
+    if mission_type == "G7":
+        xs = list(np.linspace(0.0, goal.xg, n))
+        ys = list(np.linspace(0.0, goal.yg, n))
+    else:
+        th = np.linspace(0.5 * np.pi, 2.5 * np.pi, n)
+        xs = list(goal.rg * np.sin(th) + goal.xg)
+        ys = list(-goal.rg * np.cos(th) + goal.yg)
+    zeros = [0.0] * n
+    return {
+        "dt": dt,
+        "converged": True,
+        "trajectory": {
+            "time": [k * dt for k in range(n)],
+            "x": xs, "y": ys, "z": zeros,
+            "Va": [15.0] * n, "gam": zeros, "chi": zeros, "phi": zeros,
+            "CL": [0.5] * n, "dphi": zeros, "dCL": zeros, "T": [5.0] * n,
+        },
+    }
+
+
+def test_haversine_roundtrip():
+    """GPS->ENU matches the reference formula (msl/mission.py:92-111)."""
+    e, n, u = haversine_enu(40.1451, -105.2408, 1676.0,
+                            40.146630, -105.239674, 1781.0)
+    # ~169m north, ~92m east of the datum (same numbers the reference
+    # computes for its aircraft vs Ka-1 datum, src/problem.cpp:377-384)
+    assert n == pytest.approx(167, abs=5)
+    assert e == pytest.approx(94, abs=5)
+    assert u == pytest.approx(105.0)
+
+
+def test_mission_reaches_goal_and_loiters():
+    m = Mission(MissionConfig(max_legs=10), FakeAutopilot(),
+                leg_solver=fake_leg_solver)
+    assert m.connected
+    traj = m.run((400.0, 0.0, 70.0, 100.0))
+    # Multiple legs: G7 until within the radius, then one S10 loiter.
+    types = [("S10" if "S10" in line else "G7") for line in m.log]
+    assert types[-1] == "S10" and types[0] == "G7"
+    # End position near the goal ring (loiter centred 100 m short).
+    e, n = traj.east[-1], traj.north[-1]
+    assert math.hypot(e - 400.0, n - 0.0) < 250.0
+    assert len(traj) > 20
+
+
+def test_mission_no_radius_completes():
+    m = Mission(MissionConfig(max_legs=10), FakeAutopilot(),
+                leg_solver=fake_leg_solver)
+    m.run((300.0, 100.0, 0.0, 0.0))
+    assert any("G7" in line for line in m.log)
+    cur = m.trajectory.end_state()
+    frac = math.hypot(cur["east"] - m.trajectory.east[0] - 300.0 + m.trajectory.east[0],
+                      0) if False else None
+    # progressed at least 95% toward the goal
+    d = math.hypot(cur["east"] - 300.0, cur["north"] - 100.0)
+    assert d < 0.1 * math.hypot(300.0, 100.0)
+
+
+def test_trajectory_stitching_and_exports(tmp_path):
+    tr = Trajectory(40.0, -105.0, 1600.0)
+    doc = fake_leg_solver("G7", Goal(xg=100.0, yg=50.0, zg=0.0, rg=0.0))
+    tr.append_leg(doc, 0.0, (10.0, 20.0, 70.0))
+    doc2 = fake_leg_solver("G7", Goal(xg=50.0, yg=0.0, zg=0.0, rg=0.0))
+    tr.append_leg(doc2, tr.t[-1], (tr.east[-1], tr.north[-1], tr.up[-1]))
+    # ENU conversion: east = y + e0, north = x + n0 (msl/mission.py:216-218)
+    assert tr.east[0] == pytest.approx(10.0)
+    assert tr.north[0] == pytest.approx(20.0)
+    assert tr.north[-1] == pytest.approx(20.0 + 100.0 + 50.0)
+    # JSON round-trip (msl/trajectory.py:142-164)
+    p = tmp_path / "traj.json"
+    tr.write_to_json(str(p))
+    tr2 = Trajectory(40.0, -105.0, 1600.0)
+    tr2.read_from_json(str(p))
+    assert tr2.north == tr.north
+    # KML export contains one coordinate per sample
+    k = tmp_path / "traj.kml"
+    tr.write_to_kml(str(k))
+    content = k.read_text()
+    assert content.count(",") >= 2 * len(tr)  # lon,lat,alt = 2 commas each
+    assert "<LineString>" in content
+
+
+def test_waypoint_upload():
+    m = Mission(MissionConfig(max_legs=6), FakeAutopilot(),
+                leg_solver=fake_leg_solver)
+    m.run((200.0, 0.0, 0.0, 0.0))
+    n = m.upload()
+    assert n > 0
+    assert len(m.ap.uploaded[0]) == n
+    wp = m.ap.uploaded[0][0]
+    assert abs(wp["lat"] - m.cfg.datum_lat) < 0.05
+    assert wp["speed"] == pytest.approx(15.0)

@@ -46,7 +46,8 @@ def test_s10_solution_geometry(s10_solution):
     # node 0 pinned at origin
     np.testing.assert_allclose(Z[0, :3], 0.0, atol=1e-9)
     # bounds respected
-    lo, up = np.asarray(can.lb), np.asarray(can.ub)
+    lb, ub, _ = can.bounds(can.nlp.inst0)
+    lo, up = np.asarray(lb), np.asarray(ub)
     v = np.asarray(res.v)
     assert np.all(v >= lo - 1e-7) and np.all(v <= up + 1e-7)
     # cost reduces to the time term
@@ -65,7 +66,8 @@ def test_stationarity_independent_check(s10_solution):
     """Gradient of the Lagrangian vanishes on free variables (computed
     here independently of the solver's own error function)."""
     nlp, can, res = s10_solution
-    g = jax.grad(lambda v: can.f(v) + can.c(v) @ res.y)(res.v)
+    inst = can.nlp.inst0
+    g = jax.grad(lambda v: can.f(v, inst) + can.c(v, inst) @ res.y)(res.v)
     r = np.asarray(g - res.zl + res.zu)
-    free = ~np.asarray(can.fixed)
+    free = ~np.asarray(can.bounds(inst)[2])
     assert np.abs(r[free]).max() < 1e-4 * max(1.0, np.abs(np.asarray(res.y)).max())

@@ -34,6 +34,7 @@ z_enu = -z_ned + up0``.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple, Optional
 
 import jax
@@ -58,8 +59,15 @@ class WindGrid(NamedTuple):
     live: jax.Array     # (3,) float mask over (u, v, w)
 
 
-class WindConfig(NamedTuple):
-    """Parameters for all wind models; ``model`` selects behaviour."""
+@dataclasses.dataclass(frozen=True)
+class WindConfig:
+    """Parameters for all wind models; ``model`` selects behaviour.
+
+    Registered as a pytree with ``model`` as *static* metadata: the model
+    index selects code (the ``switch (Pwindmodel)`` of src/problem.cpp:477)
+    and therefore must not be traced or batched; all numeric fields are
+    ordinary leaves that can carry batch axes.
+    """
 
     model: int = 1
     # model 1: linear boundary layer v_north = -vref * z_up / href
@@ -81,6 +89,15 @@ class WindConfig(NamedTuple):
     north0: float = 25800.0
     up0: float = 200.0
     grid: Optional[WindGrid] = None
+
+
+jax.tree_util.register_dataclass(
+    WindConfig,
+    data_fields=["vref", "href", "xth", "yth", "vcore", "rlift",
+                 "xth2", "yth2", "vcore2", "rlift2",
+                 "east0", "north0", "up0", "grid"],
+    meta_fields=["model"],
+)
 
 
 def _local_ned_to_field_enu(cfg: WindConfig, p_ned: jax.Array) -> jax.Array:

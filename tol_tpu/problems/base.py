@@ -2,31 +2,43 @@
 
 The reference expresses each mission as a C++ subclass of ``problem``
 (include/problem.h:16-47) whose methods mutate shared state.  Here a mission
-is a pytree-of-closures ``CollocationNLP`` over pure functions:
+is a set of pure functions over an explicit :class:`Instance` parameter
+pytree:
 
-    minimize    sum_i node_cost(z_i, dt) + global_cost(z_0, z_T, dt)
-    subject to  defect(z_i, z_{i+1}, dt) = 0          i = 0..T-1
-                boundary(z_0, z_T, dt)  (=0 | <=0)    per-row kind
-                z_lo <= z_i <= z_up,  dt_lo <= dt <= dt_hi
+    minimize    sum_i node_cost(z_i, dt, inst) + global_cost(z_0, z_T, dt, inst)
+    subject to  defect(z_i, z_{i+1}, dt, inst) = 0        i = 0..T-1
+                boundary(z_0, z_T, dt, inst)  (=0 | <=0)  per-row kind
+                inst.z_lo <= z_i <= inst.z_up,  inst.dt_lo <= dt <= inst.dt_hi
 
-with ``z_i`` the 11 per-node decision variables.  The structure (defects
-couple only neighbouring nodes plus the global ``dt``; boundary rows couple
-only the first/last node) is what the solver's block factorization exploits
-— it is the same block-bidiagonal-in-time Jacobian sparsity the reference
-detects numerically with its O(neF*n) ``countG`` sweep
-(src/problem.cpp:813-919); here it is known by construction.
+Because every per-scenario quantity (airframe, gains, goal, wind, bounds)
+lives in ``inst`` rather than in closures, whole solves batch with
+``jax.vmap`` over stacked instances — the multi-airframe / Monte-Carlo
+sweeps of BASELINE.json are one ``vmap`` (+ ``pjit`` sharding) away.
+
+The structure (defects couple only neighbouring nodes plus the global
+``dt``; boundary rows couple only the first/last node) is what the solver's
+block factorization exploits — the same block-bidiagonal-in-time Jacobian
+sparsity the reference detects numerically with its O(neF*n) ``countG``
+sweep (src/problem.cpp:813-919); here it is known by construction.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tol_tpu.config import Goal, ProblemConfig
+from tol_tpu.config import (
+    AircraftParams,
+    Gains,
+    Goal,
+    Limits,
+    MissionBoxes,
+    ProblemConfig,
+)
 from tol_tpu.models.dynamics import (
     NUM_STATES,
     NUM_VARS,
@@ -37,69 +49,163 @@ from tol_tpu.problems import g7 as _g7
 from tol_tpu.problems import s10 as _s10
 
 
+class Instance(NamedTuple):
+    """Per-scenario parameters — a pytree; batch axes allowed on all leaves.
+
+    ``wind.model`` is ignored at solve time (the wind model index selects
+    code and is captured statically by :func:`build_nlp`); pass
+    ``in_axes=None`` for it when vmapping, or just broadcast it.
+    """
+
+    aircraft: AircraftParams
+    gains: Gains
+    goal: Goal
+    wind: WindConfig
+    z_lo: jax.Array      # (T+1, 11) variable lower bounds
+    z_up: jax.Array
+    dt_lo: jax.Array     # scalars
+    dt_hi: jax.Array
+
+
+def node_bounds(
+    boxes: MissionBoxes,
+    aircraft: AircraftParams,
+    limits: Limits,
+    ts: int,
+    start_ned=(0.0, 0.0, 0.0),
+    dtype=jnp.float64,
+) -> Tuple[jax.Array, jax.Array]:
+    """Variable boxes per node (``problem::setLimits``, src/problem.cpp:198-285).
+
+    Node 0 uses the hardcoded wide mission boxes with position pinned to the
+    leg origin (src/problem.cpp:254-268 — the tighter stitching path there
+    is commented out); nodes >= 1 use aircraft/limit boxes with free winding
+    course (src/problem.cpp:272-285).  Note dCL's bound reuses ``phidotmax``
+    exactly as the reference does (src/problem.cpp:283).
+    """
+    ac, lm, bx = aircraft, limits, boxes
+    xi, yi, zi = [jnp.asarray(c, dtype=dtype) for c in start_ned]
+    lo0 = jnp.stack([xi, yi, zi,
+                     jnp.asarray(bx.Va1, dtype), jnp.asarray(bx.gamma1, dtype),
+                     jnp.asarray(bx.chi1, dtype), jnp.asarray(bx.phi1, dtype),
+                     jnp.asarray(bx.CL1, dtype), jnp.asarray(bx.phidot1, dtype),
+                     jnp.asarray(bx.CLdot1, dtype), jnp.asarray(0.0, dtype)])
+    up0 = jnp.stack([xi, yi, zi,
+                     jnp.asarray(bx.Va2, dtype), jnp.asarray(bx.gamma2, dtype),
+                     jnp.asarray(bx.chi2, dtype), jnp.asarray(bx.phi2, dtype),
+                     jnp.asarray(bx.CL2, dtype), jnp.asarray(bx.phidot2, dtype),
+                     jnp.asarray(bx.CLdot2, dtype), jnp.asarray(1e20, dtype)])
+    lo = jnp.stack([jnp.asarray(lm.xmin, dtype), jnp.asarray(lm.ymin, dtype),
+                    jnp.asarray(lm.zmin, dtype), jnp.asarray(ac.Vamin, dtype),
+                    -jnp.asarray(ac.gammamax, dtype), jnp.asarray(-1e20, dtype),
+                    -jnp.asarray(ac.phimax, dtype), jnp.asarray(ac.CLmin, dtype),
+                    -jnp.asarray(ac.phidotmax, dtype), -jnp.asarray(ac.phidotmax, dtype),
+                    jnp.asarray(ac.Tmin, dtype)])
+    up = jnp.stack([jnp.asarray(lm.xmax, dtype), jnp.asarray(lm.ymax, dtype),
+                    jnp.asarray(lm.zmax, dtype), jnp.asarray(ac.Vamax, dtype),
+                    jnp.asarray(ac.gammamax, dtype), jnp.asarray(1e20, dtype),
+                    jnp.asarray(ac.phimax, dtype), jnp.asarray(ac.CLmax, dtype),
+                    jnp.asarray(ac.phidotmax, dtype), jnp.asarray(ac.phidotmax, dtype),
+                    jnp.asarray(ac.Tmax, dtype)])
+    z_lo = jnp.concatenate([lo0[None, :], jnp.tile(lo[None, :], (ts, 1))])
+    z_up = jnp.concatenate([up0[None, :], jnp.tile(up[None, :], (ts, 1))])
+    return z_lo, z_up
+
+
 @dataclasses.dataclass(frozen=True)
 class CollocationNLP:
-    """One mission NLP family; all callables are pure and jit/vmap friendly."""
+    """One mission NLP family.
+
+    All callables are pure, take the :class:`Instance` pytree as their last
+    argument, and are jit/vmap friendly.  ``inst0`` is the default instance
+    built from the originating config (convenience wrappers below use it
+    when no instance is passed).
+    """
 
     mission: str
     T: int                               # collocation segments (ts)
     nb: int                              # boundary rows
     boundary_is_ineq: np.ndarray         # (nb,) bool, True = row <= 0
-    z_lo: jax.Array                      # (T+1, 11)
-    z_up: jax.Array
-    dt_lo: jax.Array
-    dt_hi: jax.Array
-    seed: Callable[[], Tuple[jax.Array, jax.Array]]
-    node_cost: Callable[[jax.Array, jax.Array], jax.Array]
-    global_cost: Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
-    defect: Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
-    boundary: Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
+    inst0: Instance
+    seed_fn: Callable[[Instance], Tuple[jax.Array, jax.Array]]
+    node_cost_fn: Callable[..., jax.Array]
+    global_cost_fn: Callable[..., jax.Array]
+    defect_fn: Callable[..., jax.Array]
+    boundary_fn: Callable[..., jax.Array]
 
-    # ---- whole-trajectory conveniences (vmapped over nodes) ----
+    # ---- conveniences (default instance, vmapped over nodes) ----
 
-    def total_cost(self, Z: jax.Array, dt: jax.Array) -> jax.Array:
-        node = jax.vmap(self.node_cost, in_axes=(0, None))(Z, dt)
-        return jnp.sum(node) + self.global_cost(Z[0], Z[-1], dt)
+    def _inst(self, inst):
+        return self.inst0 if inst is None else inst
 
-    def all_defects(self, Z: jax.Array, dt: jax.Array) -> jax.Array:
+    def seed(self, inst=None):
+        return self.seed_fn(self._inst(inst))
+
+    def node_cost(self, z, dt, inst=None):
+        return self.node_cost_fn(z, dt, self._inst(inst))
+
+    def global_cost(self, z0, zT, dt, inst=None):
+        return self.global_cost_fn(z0, zT, dt, self._inst(inst))
+
+    def defect(self, z_i, z_ip1, dt, inst=None):
+        return self.defect_fn(z_i, z_ip1, dt, self._inst(inst))
+
+    def boundary(self, z0, zT, dt, inst=None):
+        return self.boundary_fn(z0, zT, dt, self._inst(inst))
+
+    @property
+    def z_lo(self):
+        return self.inst0.z_lo
+
+    @property
+    def z_up(self):
+        return self.inst0.z_up
+
+    @property
+    def dt_lo(self):
+        return self.inst0.dt_lo
+
+    @property
+    def dt_hi(self):
+        return self.inst0.dt_hi
+
+    def total_cost(self, Z, dt, inst=None):
+        inst = self._inst(inst)
+        node = jax.vmap(self.node_cost_fn, in_axes=(0, None, None))(Z, dt, inst)
+        return jnp.sum(node) + self.global_cost_fn(Z[0], Z[-1], dt, inst)
+
+    def all_defects(self, Z, dt, inst=None):
         """(T, 8) forward-Euler defect residuals (src/problem.cpp:1012-1019)."""
-        return jax.vmap(self.defect, in_axes=(0, 0, None))(Z[:-1], Z[1:], dt)
+        inst = self._inst(inst)
+        return jax.vmap(self.defect_fn, in_axes=(0, 0, None, None))(
+            Z[:-1], Z[1:], dt, inst)
 
-    def constraints(self, Z: jax.Array, dt: jax.Array) -> jax.Array:
+    def constraints(self, Z, dt, inst=None):
         """All rows stacked: (T*8 + nb,) — reference F[1:] ordering."""
-        d = self.all_defects(Z, dt).reshape(-1)
-        b = self.boundary(Z[0], Z[-1], dt)
+        inst = self._inst(inst)
+        d = self.all_defects(Z, dt, inst).reshape(-1)
+        b = self.boundary(Z[0], Z[-1], dt, inst)
         return jnp.concatenate([d, b])
 
 
-def _node_bounds(cfg: ProblemConfig, dtype) -> Tuple[jax.Array, jax.Array]:
-    """Variable boxes per node (``problem::setLimits``, src/problem.cpp:198-285).
-
-    Node 0 uses the hardcoded wide mission boxes with position pinned to the
-    leg origin (src/problem.cpp:254-268 — the tighter stitching path there is
-    commented out); nodes >= 1 use aircraft/limit boxes with free winding
-    course (src/problem.cpp:272-285).  Note dCL's bound reuses ``phidotmax``
-    exactly as the reference does (src/problem.cpp:283).
-    """
-    ac, lm, bx = cfg.aircraft, cfg.limits, cfg.boxes
-    lo0 = [0.0, 0.0, 0.0, bx.Va1, bx.gamma1, bx.chi1, bx.phi1, bx.CL1,
-           bx.phidot1, bx.CLdot1, 0.0]
-    up0 = [0.0, 0.0, 0.0, bx.Va2, bx.gamma2, bx.chi2, bx.phi2, bx.CL2,
-           bx.phidot2, bx.CLdot2, 1e20]
-    lo = [lm.xmin, lm.ymin, lm.zmin, ac.Vamin, -ac.gammamax, -1e20,
-          -ac.phimax, ac.CLmin, -ac.phidotmax, -ac.phidotmax, ac.Tmin]
-    up = [lm.xmax, lm.ymax, lm.zmax, ac.Vamax, ac.gammamax, 1e20,
-          ac.phimax, ac.CLmax, ac.phidotmax, ac.phidotmax, ac.Tmax]
-    T = cfg.dims.ts
-    z_lo = jnp.concatenate([
-        jnp.asarray(lo0, dtype=dtype)[None, :],
-        jnp.tile(jnp.asarray(lo, dtype=dtype)[None, :], (T, 1)),
-    ])
-    z_up = jnp.concatenate([
-        jnp.asarray(up0, dtype=dtype)[None, :],
-        jnp.tile(jnp.asarray(up, dtype=dtype)[None, :], (T, 1)),
-    ])
-    return z_lo, z_up
+def make_instance(
+    cfg: ProblemConfig,
+    goal: Goal,
+    wind: WindConfig,
+    start_ned=(0.0, 0.0, 0.0),
+    dtype=jnp.float64,
+) -> Instance:
+    z_lo, z_up = node_bounds(cfg.boxes, cfg.aircraft, cfg.limits, cfg.dims.ts,
+                             start_ned, dtype)
+    to = lambda x: jnp.asarray(x, dtype=dtype)
+    return Instance(
+        aircraft=AircraftParams(*[to(x) for x in cfg.aircraft]),
+        gains=Gains(*[to(x) for x in cfg.gains]),
+        goal=Goal(*[to(x) for x in goal]),
+        wind=wind,
+        z_lo=z_lo, z_up=z_up,
+        dt_lo=to(cfg.limits.dtmin), dt_hi=to(cfg.limits.dtmax),
+    )
 
 
 def build_nlp(
@@ -118,10 +224,10 @@ def build_nlp(
     else:
         raise ValueError(f'Problem "{cfg.mission}" not recognized.')
 
-    ac = cfg.aircraft
     freeze_wind = cfg.jacobian_mode == "reference"
+    wind_model = int(wind.model)  # static: selects code, not data
 
-    def defect(z_i, z_ip1, dt):
+    def defect(z_i, z_ip1, dt, inst):
         """Forward-Euler defect rows (src/problem.cpp:1012-1019).
 
         In "reference" Jacobian mode the wind sample is frozen w.r.t.
@@ -132,12 +238,13 @@ def build_nlp(
         p = z_i[0:3]
         if freeze_wind:
             p = jax.lax.stop_gradient(p)
-        w, gw = wind_with_gradient_ned(wind, p)
-        zdot = state_derivatives(z_i, w, gw, ac)
+        wcfg = dataclasses.replace(inst.wind, model=wind_model)
+        w, gw = wind_with_gradient_ned(wcfg, p)
+        zdot = state_derivatives(z_i, w, gw, inst.aircraft)
         return z_ip1[:NUM_STATES] - zdot * dt - z_i[:NUM_STATES]
 
-    z_lo, z_up = _node_bounds(cfg, dtype)
-    node_cost, global_cost, boundary, is_ineq, seed = mod.make(cfg, goal, dtype)
+    node_cost, global_cost, boundary, is_ineq, seed = mod.make(cfg, dtype)
+    inst0 = make_instance(cfg, goal, wind, dtype=dtype)
 
     nb = int(cfg.dims.numbounds)
     assert is_ineq.shape == (nb,), (is_ineq.shape, nb)
@@ -147,13 +254,10 @@ def build_nlp(
         T=int(cfg.dims.ts),
         nb=nb,
         boundary_is_ineq=is_ineq,
-        z_lo=z_lo,
-        z_up=z_up,
-        dt_lo=jnp.asarray(cfg.limits.dtmin, dtype=dtype),
-        dt_hi=jnp.asarray(cfg.limits.dtmax, dtype=dtype),
-        seed=seed,
-        node_cost=node_cost,
-        global_cost=global_cost,
-        defect=defect,
-        boundary=boundary,
+        inst0=inst0,
+        seed_fn=seed,
+        node_cost_fn=node_cost,
+        global_cost_fn=global_cost,
+        defect_fn=defect,
+        boundary_fn=boundary,
     )

@@ -8,7 +8,8 @@ but is kept for non-default gains.
 
 Boundary (src/problemG7.cpp:258-296), 12 rows:
     0: xf - x0 - dist cos(chi_d) = 0     (net displacement along the desired
-    1: yf - y0 - dist sin(chi_d) = 0      course chi_d = atan2(yg, xg))
+    1: yf - y0 - dist sin(chi_d) = 0      course chi_d = atan2(yg, xg),
+                                          src/problemG7.cpp:524)
     2-10: z..T periodic
     11: dist - dmax <= 0                 (inequality row; dmax is the
                                           distance from node 0 to the goal)
@@ -22,32 +23,33 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from tol_tpu.config import Goal, ProblemConfig
+from tol_tpu.config import ProblemConfig
 from tol_tpu.models.dynamics import IDX_T, NUM_VARS
 from tol_tpu.problems.seed import g7_seed_path, invert_flight_mechanics
 
 
-def make(cfg: ProblemConfig, goal: Goal, dtype):
-    gn = cfg.gains
+def _chi_d(inst):
+    # Desired course from the leg origin (xi=yi=0) to the goal.
+    return jnp.arctan2(inst.goal.yg, inst.goal.xg)
+
+
+def _dist(z0, zT):
+    return jnp.sqrt((zT[0] - z0[0]) ** 2 + (zT[1] - z0[1]) ** 2)
+
+
+def make(cfg: ProblemConfig, dtype):
     ts = cfg.dims.ts
-    xg = jnp.asarray(goal.xg, dtype=dtype)
-    yg = jnp.asarray(goal.yg, dtype=dtype)
-    # Desired course from the leg origin (xi=yi=0) to the goal
-    # (src/problemG7.cpp:524).
-    chi_d = jnp.arctan2(yg, xg)
 
-    def _dist(z0, zT):
-        return jnp.sqrt((zT[0] - z0[0]) ** 2 + (zT[1] - z0[1]) ** 2)
+    def node_cost(z, dt, inst):
+        return 0.5 * inst.gains.kT * z[IDX_T] ** 2
 
-    def node_cost(z, dt):
-        return 0.5 * gn.kT * z[IDX_T] ** 2
+    def global_cost(z0, zT, dt, inst):
+        return inst.gains.kv * ts * dt / _dist(z0, zT)
 
-    def global_cost(z0, zT, dt):
-        return gn.kv * ts * dt / _dist(z0, zT)
-
-    def boundary(z0, zT, dt):
+    def boundary(z0, zT, dt, inst):
+        chi_d = _chi_d(inst)
         dist = _dist(z0, zT)
-        dmax = jnp.sqrt((xg - z0[0]) ** 2 + (yg - z0[1]) ** 2)
+        dmax = jnp.sqrt((inst.goal.xg - z0[0]) ** 2 + (inst.goal.yg - z0[1]) ** 2)
         rows = [
             zT[0] - z0[0] - dist * jnp.cos(chi_d),
             zT[1] - z0[1] - dist * jnp.sin(chi_d),
@@ -59,10 +61,9 @@ def make(cfg: ProblemConfig, goal: Goal, dtype):
     is_ineq = np.zeros(NUM_VARS + 1, dtype=bool)
     is_ineq[-1] = True  # dist <= dmax (src/problem.cpp:345-350)
 
-    def seed():
-        Z, dt = invert_flight_mechanics(
-            g7_seed_path(ts, chi_d, dtype=dtype), cfg.aircraft,
+    def seed(inst):
+        return invert_flight_mechanics(
+            g7_seed_path(ts, _chi_d(inst), dtype=dtype), inst.aircraft,
             periodic_rates=False)
-        return Z, dt
 
     return node_cost, global_cost, boundary, is_ineq, seed

@@ -15,37 +15,33 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from tol_tpu.config import Goal, ProblemConfig
+from tol_tpu.config import ProblemConfig
 from tol_tpu.models.dynamics import IDX_CHI, IDX_T, NUM_VARS
 from tol_tpu.problems.seed import invert_flight_mechanics, s10_seed_path
 
 
-def make(cfg: ProblemConfig, goal: Goal, dtype):
-    gn = cfg.gains
-    xg = jnp.asarray(goal.xg, dtype=dtype)
-    yg = jnp.asarray(goal.yg, dtype=dtype)
-    R = jnp.asarray(goal.rg, dtype=dtype)
+def make(cfg: ProblemConfig, dtype):
+    ts = cfg.dims.ts
 
-    def node_cost(z, dt):
-        r = jnp.sqrt((z[0] - xg) ** 2 + (z[1] - yg) ** 2)
-        return 0.5 * gn.kT * z[IDX_T] ** 2 + 0.5 * gn.kp * (r - R) ** 2
+    def node_cost(z, dt, inst):
+        r = jnp.sqrt((z[0] - inst.goal.xg) ** 2 + (z[1] - inst.goal.yg) ** 2)
+        return (0.5 * inst.gains.kT * z[IDX_T] ** 2
+                + 0.5 * inst.gains.kp * (r - inst.goal.rg) ** 2)
 
-    def global_cost(z0, zT, dt):
-        return gn.kdt * dt
+    def global_cost(z0, zT, dt, inst):
+        return inst.gains.kdt * dt
 
     # chi(tf) - chi(t0) = 2*pi full-loop offset (src/problemS10.cpp:289,298);
     # all other rows plain periodicity.
     offset = jnp.zeros(NUM_VARS, dtype=dtype).at[IDX_CHI].set(2.0 * jnp.pi)
 
-    def boundary(z0, zT, dt):
+    def boundary(z0, zT, dt, inst):
         return zT - z0 - offset
 
     is_ineq = np.zeros(NUM_VARS, dtype=bool)  # 11 equality rows
 
-    def seed():
-        Z, dt = invert_flight_mechanics(
-            s10_seed_path(cfg.dims.ts, dtype=dtype), cfg.aircraft,
-            periodic_rates=True)
-        return Z, dt
+    def seed(inst):
+        return invert_flight_mechanics(
+            s10_seed_path(ts, dtype=dtype), inst.aircraft, periodic_rates=True)
 
     return node_cost, global_cost, boundary, is_ineq, seed

@@ -65,6 +65,12 @@ class ALMOptions(NamedTuple):
     kappa_sigma: float = 1e10
     bound_push: float = 1e-2
     s_max: float = 100.0
+    delta_decay: float = 0.2       # shift decay on success (0.9 = sticky)
+    # Trigger outer updates on inner stagnation as well as on inner
+    # convergence: when the accepted step is tiny, the (possibly modified-
+    # Hessian) inner iteration has extracted what it can at this (mu, gamma)
+    # — move the outer problem instead of grinding.
+    stagnation_outer: bool = True
     verbose: bool = False
 
 
@@ -102,21 +108,28 @@ def solve(
     can: CanonicalNLP,
     kkt_solve: Callable,
     opts: ALMOptions = ALMOptions(),
+    inst=None,
     v0: jax.Array | None = None,
     y0: jax.Array | None = None,
 ) -> ALMResult:
-    """Solve one canonical NLP instance.  vmap over leading axes to batch."""
+    """Solve one canonical NLP instance.
 
-    lb, ub, fixed = can.lb, can.ub, can.fixed
+    Batch by vmapping over stacked ``inst`` pytrees and/or ``v0``.
+    """
+
+    inst = can.nlp._inst(inst)
+    lb, ub, fixed = can.bounds(inst)
     has_lb = (lb > -_BIG) & ~fixed
     has_ub = (ub < _BIG) & ~fixed
 
     if v0 is None:
-        v0 = can.initial_point()
+        v0 = can.initial_point(inst)
     dtype = v0.dtype
 
-    grad_f = jax.grad(can.f)
-    grad_lag = jax.grad(lambda v, y: can.f(v) + can.c(v) @ y, argnums=0)
+    f_fn = lambda v: can.f(v, inst)
+    c_fn = lambda v: can.c(v, inst)
+    grad_f = jax.grad(f_fn)
+    grad_lag = jax.grad(lambda v, y: f_fn(v) + c_fn(v) @ y, argnums=0)
 
     def lag_hvp(v, y, dv):
         return jax.jvp(lambda v_: grad_lag(v_, y), (v,), (dv,))[1]
@@ -134,8 +147,8 @@ def solve(
         dl = jnp.where(has_lb, v - lb, 1.0)
         du = jnp.where(has_ub, ub - v, 1.0)
         ok = jnp.all(dl > 0) & jnp.all(du > 0)
-        cv = can.c(v)
-        val = (can.f(v) + yhat @ cv + (cv @ cv) / (2.0 * gamma)
+        cv = c_fn(v)
+        val = (f_fn(v) + yhat @ cv + (cv @ cv) / (2.0 * gamma)
                - mu * (jnp.sum(jnp.where(has_lb, jnp.log(dl), 0.0))
                        + jnp.sum(jnp.where(has_ub, jnp.log(du), 0.0))))
         return jnp.where(ok, val, jnp.inf)
@@ -146,7 +159,7 @@ def solve(
         du = jnp.where(has_ub, ub - v, 1.0)
         r_d = grad_lag(v, y) - jnp.where(has_lb, zl, 0.0) + jnp.where(has_ub, zu, 0.0)
         r_d = jnp.where(fixed, 0.0, r_d)
-        theta = can.c(v)
+        theta = c_fn(v)
         comp = jnp.concatenate([
             jnp.where(has_lb, zl * dl - mu, 0.0),
             jnp.where(has_ub, zu * du - mu, 0.0),
@@ -172,7 +185,7 @@ def solve(
         zl = jnp.where(has_lb, mu / dl, 0.0)
         zu = jnp.where(has_ub, mu / du, 0.0)
         yhat = jnp.zeros(can.m, dtype) if y0 is None else jnp.asarray(y0, dtype)
-        cv = can.c(v)
+        cv = c_fn(v)
         err, *_ = kkt_errors(v, yhat, zl, zu, 0.0)
         return ALMState(
             v=v, yhat=yhat, zl=zl, zu=zu, mu=mu,
@@ -191,7 +204,7 @@ def solve(
         du = jnp.where(has_ub, ub - v, 1.0)
         sigma = jnp.where(has_lb, zl / dl, 0.0) + jnp.where(has_ub, zu / du, 0.0)
 
-        cv = can.c(v)
+        cv = c_fn(v)
         y_al = yhat + cv / gamma
 
         # grad of AL_mu (with primal-dual barrier handled via sigma/rhs).
@@ -203,15 +216,14 @@ def solve(
 
         delta_w = st.delta_w
         gamma_rows = jnp.full((can.m,), 1.0, dtype) * gamma
-        dv, dw = kkt_solve(v, y_al, sigma, delta_w, gamma_rows, rhs_v, rhs_c)
+        dv, dw = kkt_solve(v, y_al, sigma, delta_w, gamma_rows, rhs_v, rhs_c, inst)
         bad = ~(jnp.all(jnp.isfinite(dv)) & jnp.all(jnp.isfinite(dw)))
         dv = jnp.where(bad, 0.0, dv)
         dw = jnp.where(bad, 0.0, dw)
 
-        # Curvature of the AL Hessian along the step: must be positive.
-        curv = (dv @ lag_hvp(v, y_al, dv) + jnp.sum(sigma * dv * dv)
-                + delta_w * (dv @ dv) + gamma * (dw @ dw))
-        curv_ok = curv > 0.0
+        # Descent check: the backend may convexify its Hessian blocks, so
+        # test the direction itself rather than true-Hessian curvature.
+        curv_ok = (g_al @ dv) < 0.0
 
         tau = jnp.maximum(opts.tau_min, 1.0 - mu)
 
@@ -235,11 +247,17 @@ def solve(
         alpha = jnp.where(bad | ~curv_ok, 0.0, alpha)
 
         reject = bad | ~curv_ok | ~any_ok
+        # NaN (failed factorization) escalates the shift aggressively; a
+        # merit rejection more gently.
+        delta_grown = jnp.where(
+            bad,
+            jnp.maximum(1e-2, delta_w * 30.0),
+            jnp.where(delta_w == 0.0, 1e-6, delta_w * 10.0))
         delta_next = jnp.where(
             reject,
-            jnp.where(delta_w == 0.0, 1e-6,
-                      jnp.minimum(delta_w * 10.0, opts.delta_w_max)),
-            jnp.where(delta_w * 0.2 < opts.delta_w_min, 0.0, delta_w * 0.2),
+            jnp.minimum(delta_grown, opts.delta_w_max),
+            jnp.where(delta_w * opts.delta_decay < opts.delta_w_min, 0.0,
+                      delta_w * opts.delta_decay),
         )
 
         v_n = v + alpha * dv
@@ -260,11 +278,25 @@ def solve(
         zu_n = jnp.where(has_ub, jnp.clip(zu_n, mu / (ks * du_n), ks * mu / du_n), 0.0)
 
         # ---- inner convergence test at the new point ----
-        c_n = can.c(v_n)
+        c_n = c_fn(v_n)
         y_n = yhat + c_n / gamma
         err_in, th_in, e_d_in, e_c_in = kkt_errors(v_n, y_n, zl_n, zu_n, mu)
         inner_err = jnp.maximum(e_d_in, e_c_in)   # feasibility handled by outer
         inner_done = inner_err <= opts.kappa_inner * mu
+        if opts.stagnation_outer:
+            # A tiny Newton direction from the (PD-regularized) system means
+            # the inner problem is solved to working precision regardless of
+            # what the merit bookkeeping says (near stationarity the
+            # directional derivative underflows and Armijo can reject
+            # noise-level steps forever).  Liveness: either steps are
+            # accepted, or delta_w escalates until dv shrinks, which then
+            # triggers the outer update.
+            # Must be a *successful* solve: a NaN-rejected step is zeroed
+            # by the guard above and must not masquerade as stagnation
+            # (that would shrink gamma while the subproblem is unsolved —
+            # a stiffness death spiral).
+            stagnated = (~bad) & (_inf_norm(dv) <= 1e-5 * (1.0 + _inf_norm(v)))
+            inner_done = inner_done | stagnated
 
         # ---- outer updates, applied only when the inner problem is done ----
         # Multiplier update; shrink gamma unless feasibility improved enough.
@@ -288,10 +320,10 @@ def solve(
             jax.debug.print(
                 "it={it} mu={mu:.1e} gam={gam:.1e} err0={e:.3e} th={th:.3e} "
                 "in={inn:.2e} a={a:.2e} amax={am:.2e} dw={dw:.1e} f={f:.6e} "
-                "ok={ok} cv={cvt} outer={od} dal={dal:.2e} curv={curv:.2e} dAL0={d0:.3e} dALmin={dmin:.3e} ndv={ndv:.1e}",
+                "ok={ok} cv={cvt} outer={od} dal={dal:.2e} dAL0={d0:.3e} ndv={ndv:.1e}",
                 it=st.it, mu=mu, gam=gamma, e=err0, th=viol, inn=inner_err,
-                a=alpha, am=a_max, dw=delta_w, f=can.f(v_n), ok=any_ok,
-                cvt=curv_ok, od=inner_done, dal=d_al, curv=curv, d0=al_vals[0]-al0, dmin=al_vals[-1]-al0, ndv=_inf_norm(dv))
+                a=alpha, am=a_max, dw=delta_w, f=f_fn(v_n), ok=any_ok,
+                cvt=curv_ok, od=inner_done, dal=d_al, d0=al_vals[0]-al0, ndv=_inf_norm(dv))
 
         new = ALMState(
             v=v_n, yhat=yhat_n, zl=zl_n, zu=zu_n, mu=mu_n, gamma=gamma_n,
@@ -306,11 +338,11 @@ def solve(
         return (~st.converged) & (st.it < opts.max_iter)
 
     final = jax.lax.while_loop(cond, step, init_state())
-    cv = can.c(final.v)
+    cv = c_fn(final.v)
     y_fin = final.yhat + cv / final.gamma
     _, viol, *_ = kkt_errors(final.v, y_fin, final.zl, final.zu, 0.0)
     return ALMResult(
         v=final.v, y=y_fin, zl=final.zl, zu=final.zu,
-        f=can.f(final.v), iterations=final.it, converged=final.converged,
+        f=f_fn(final.v), iterations=final.it, converged=final.converged,
         kkt_err=final.kkt_err, constr_viol=viol,
     )

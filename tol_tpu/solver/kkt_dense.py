@@ -22,19 +22,19 @@ from tol_tpu.solver.canonical import CanonicalNLP
 def make_dense_kkt(can: CanonicalNLP):
     """Returns kkt_solve(v, y, sigma, delta_w, delta_c, rhs_v, rhs_c) -> (dv, dy)."""
 
-    def lagrangian(v, y):
-        return can.f(v) + can.c(v) @ y
+    def lagrangian(v, y, inst):
+        return can.f(v, inst) + can.c(v, inst) @ y
 
     hess = jax.hessian(lagrangian, argnums=0)
-    jac = jax.jacfwd(can.c)
+    jac = jax.jacfwd(can.c, argnums=0)
 
-    fixed = can.fixed
-
-    def kkt_solve(v, y, sigma, delta_w, delta_c, rhs_v, rhs_c):
+    def kkt_solve(v, y, sigma, delta_w, delta_c, rhs_v, rhs_c, inst=None):
         """``delta_c`` may be a scalar or per-row (m,) vector."""
+        inst = can.nlp._inst(inst)
+        _, _, fixed = can.bounds(inst)
         n, m = can.n, can.m
-        H = hess(v, y)
-        J = jac(v)
+        H = hess(v, y, inst)
+        J = jac(v, inst)
         dtype = v.dtype
 
         K = jnp.zeros((n + m, n + m), dtype=dtype)

@@ -49,7 +49,16 @@ def _cho_solve(L, B):
     return jax.scipy.linalg.solve_triangular(L.T, Y, lower=False)
 
 
-def make_structured_kkt(can: CanonicalNLP):
+def make_structured_kkt(can: CanonicalNLP, convexify: bool = True):
+    """``convexify=True`` (default) clamps each per-node Hessian block to
+    be positive definite via a saddle-free eigenvalue flip (|lambda| with a
+    floor).  The chain factorization requires PD node blocks; with exact
+    indefinite Hessians the Cholesky signals a NaN (an inertia detection the
+    dense LU backend lacks), forcing the caller into regularization retries.
+    Flipping negative curvature instead keeps every iteration productive and
+    lock-step batched — the classic trade of quadratic-convergence purism
+    for GPU/TPU-throughput robustness.  Pass False for exact-system
+    comparisons against the dense backend."""
     nlp = can.nlp
     T, nb, n_s = nlp.T, nlp.nb, can.n_slack
     nB = NV + 1 + n_s + nb  # border width: z0, dt, s, w
@@ -69,7 +78,7 @@ def make_structured_kkt(can: CanonicalNLP):
 
     E = jnp.eye(NS, NV)  # d defect / d z_{i+1} (src/problem.cpp:1200-1206)
 
-    def node_lagrangian(u, y_i):
+    def node_lagrangian(u, y_i, inst):
         """Scalar whose (z,dt)-Hessian gives the per-node KKT blocks.
 
         ``u = [z_i (11), dt]``.  The z_{i+1} defect term is linear and
@@ -78,26 +87,30 @@ def make_structured_kkt(can: CanonicalNLP):
         """
         z, dt = u[:NV], u[NV]
         zero_next = jnp.zeros(NV, dtype=u.dtype)
-        return nlp.node_cost(z, dt) + y_i @ nlp.defect(z, zero_next, dt)
+        return nlp.node_cost(z, dt, inst) + y_i @ nlp.defect(z, zero_next, dt, inst)
 
-    node_hess = jax.vmap(jax.hessian(node_lagrangian), in_axes=(0, 0))
+    node_hess = jax.vmap(jax.hessian(node_lagrangian), in_axes=(0, 0, None))
 
-    def border_lagrangian(u, w):
+    def border_lagrangian(u, w, inst):
         """u = [z0 (11), zT (11), dt] -> boundary-coupled scalar terms."""
         z0, zT, dt = u[:NV], u[NV:2 * NV], u[2 * NV]
-        return nlp.global_cost(z0, zT, dt) + w @ nlp.boundary(z0, zT, dt)
+        return nlp.global_cost(z0, zT, dt, inst) + w @ nlp.boundary(z0, zT, dt, inst)
 
     border_hess = jax.hessian(border_lagrangian)
 
-    defect_jac_z = jax.vmap(jax.jacfwd(nlp.defect, argnums=0), in_axes=(0, 0, None))
-    defect_jac_dt = jax.vmap(jax.jacfwd(nlp.defect, argnums=2), in_axes=(0, 0, None))
+    defect_jac_z = jax.vmap(jax.jacfwd(nlp.defect, argnums=0), in_axes=(0, 0, None, None))
+    defect_jac_dt = jax.vmap(jax.jacfwd(nlp.defect, argnums=2), in_axes=(0, 0, None, None))
     bnd_jac = jax.jacfwd(nlp.boundary, argnums=(0, 1, 2))
 
-    fixed0 = can.fixed[1:1 + NV]           # node-0 fixed mask (dt is v[0])
-    free0 = (~fixed0).astype(can.lb.dtype)
-
-    def kkt_solve(v, y_all, sigma, delta_w, delta_c, rhs_v, rhs_c):
+    def kkt_solve(v, y_all, sigma, delta_w, delta_c, rhs_v, rhs_c, inst=None):
+        """``delta_c`` may be a scalar or a per-row (m,) vector."""
+        inst = can.nlp._inst(inst)
+        lb_all, _, fixed_all = can.bounds(inst)
+        free0 = (~fixed_all[1:1 + NV]).astype(lb_all.dtype)
         dtype = v.dtype
+        delta_c = jnp.broadcast_to(delta_c, (NS * T + nb,))
+        dc_def = delta_c[:NS * T].reshape(T, NS)
+        dc_bnd = delta_c[NS * T:]
         Z, dt, s = can.split(v)
         y = y_all[:NS * T].reshape(T, NS)
         w = y_all[NS * T:]
@@ -115,18 +128,24 @@ def make_structured_kkt(can: CanonicalNLP):
         # ---- derivative blocks ----
         u_nodes = jnp.concatenate([Z, jnp.full((T + 1, 1), dt, dtype=dtype)], axis=1)
         y_pad = jnp.concatenate([y, jnp.zeros((1, NS), dtype=dtype)])
-        Hn = node_hess(u_nodes, y_pad)             # (T+1, 12, 12)
-        Q = Hn[:, :NV, :NV] + jax.vmap(jnp.diag)(sig_z) \
-            + delta_w * jnp.eye(NV, dtype=dtype)
+        Hn = node_hess(u_nodes, y_pad, inst)       # (T+1, 12, 12)
+        Q = Hn[:, :NV, :NV]
+        if convexify:
+            Q = 0.5 * (Q + jnp.swapaxes(Q, -1, -2))
+            lam, V = jnp.linalg.eigh(Q)
+            floor = 1e-8 * (1.0 + jnp.max(jnp.abs(lam), axis=-1, keepdims=True))
+            lam = jnp.maximum(jnp.abs(lam), floor)
+            Q = jnp.einsum("nij,nj,nkj->nik", V, lam, V)
+        Q = Q + jax.vmap(jnp.diag)(sig_z) + delta_w * jnp.eye(NV, dtype=dtype)
         qdt = Hn[:, :NV, NV]                       # (T+1, 11)
         sig_nodes = Hn[:, NV, NV]                  # (T+1,)
 
-        A = defect_jac_z(Z[:-1], Z[1:], dt)        # (T, 8, 11)
-        d = defect_jac_dt(Z[:-1], Z[1:], dt)       # (T, 8)
+        A = defect_jac_z(Z[:-1], Z[1:], dt, inst)  # (T, 8, 11)
+        d = defect_jac_dt(Z[:-1], Z[1:], dt, inst) # (T, 8)
 
         ub = jnp.concatenate([Z[0], Z[-1], jnp.reshape(dt, (1,))])
-        Hb = border_hess(ub, w)                    # (23, 23)
-        G0, GT, Gdt = bnd_jac(Z[0], Z[-1], dt)     # (nb,11),(nb,11),(nb,)
+        Hb = border_hess(ub, w, inst)              # (23, 23)
+        G0, GT, Gdt = bnd_jac(Z[0], Z[-1], dt, inst)  # (nb,11),(nb,11),(nb,)
         Gs = jnp.asarray(Gs_np, dtype=dtype)
 
         # ---- fixed-variable masking on node 0 ----
@@ -153,7 +172,7 @@ def make_structured_kkt(can: CanonicalNLP):
         B = B.at[sl_w, sl_z0].set(G0_eff)
         B = B.at[sl_dt, sl_w].set(Gdt)
         B = B.at[sl_w, sl_dt].set(Gdt)
-        B = B.at[sl_w, sl_w].set(-delta_c * jnp.eye(nb, dtype=dtype))
+        B = B.at[sl_w, sl_w].set(-jnp.diag(dc_bnd))
 
         rB = jnp.concatenate([rz0_eff, jnp.reshape(r_dt, (1,)), r_s, r_b])
 
@@ -163,8 +182,10 @@ def make_structured_kkt(can: CanonicalNLP):
         # y-rows (defect i-1): dt column = d[i-1]; i=1 gets A0 in z0 cols.
         W = W.at[:, :NS, sl_dt].set(d)
         W = W.at[0, :NS, sl_z0].set(A0_eff)
-        # z-rows: dt column = q[i].
+        # z-rows: dt column = q[i]; the last block also carries the border
+        # Hessian's (zT, dt) coupling.
         W = W.at[:, NS:, sl_dt].set(qdt[1:])
+        W = W.at[T - 1, NS:, sl_dt].add(Hb[NV:2 * NV, 2 * NV])
         # last block: z0 corner + boundary Jacobian.
         W = W.at[T - 1, NS:, sl_z0].set(P_T0)
         W = W.at[T - 1, NS:, sl_w].set(GT.T)
@@ -172,14 +193,16 @@ def make_structured_kkt(can: CanonicalNLP):
         W = W.at[:, :NS, nB].set(r_c)
         W = W.at[:, NS:, nB].set(r_z[1:])
 
+        # Border-lagrangian curvature on the final node (zT x zT block).
         Q_chain = Q[1:]                                  # (T, 11, 11)
+        Q_chain = Q_chain.at[T - 1].add(Hb[NV:2 * NV, NV:2 * NV])
         A_next = jnp.concatenate([A[1:], jnp.zeros((1, NS, NV), dtype=dtype)])
 
         eyeNS = jnp.eye(NS, dtype=dtype)
 
         def fwd(carry, inp):
             Y, dUy, S_acc = carry
-            Qi, Wi, Ai = inp
+            Qi, Wi, Ai, dci = inp
             # Apply pending y-row correction from the previous elimination.
             Wi = Wi.at[:NS].add(-dUy)
             L_Q = jnp.linalg.cholesky(Qi)
@@ -199,15 +222,19 @@ def make_structured_kkt(can: CanonicalNLP):
             # Schur accumulation (border + rhs jointly).
             S_acc = S_acc - Wi.T @ t1
             # Next block's corrections.
-            Y_next = -delta_c * eyeNS - Ai @ dz2
+            Y_next = -jnp.diag(dci) - Ai @ dz2
             dUy_next = Ai @ dz
             return (Y_next, dUy_next, S_acc), (t1, t2)
 
-        Y0 = -delta_c * eyeNS
+        Y0 = -jnp.diag(dc_def[0])
+        # dc row i applies to defect-dual block i+1's *next* coupling: the
+        # carry built at chain step i initializes block i+1 whose dual rows
+        # are defect i — feed dc shifted by one (last entry unused).
+        dc_next = jnp.concatenate([dc_def[1:], dc_def[-1:]])
         S0 = jnp.zeros((nB + 1, nB + 1), dtype=dtype)
         (Yl, dUyl, S_acc), (t1s, t2s) = jax.lax.scan(
             fwd, (Y0, jnp.zeros((NS, nB + 1), dtype=dtype), S0),
-            (Q_chain, W, A_next))
+            (Q_chain, W, A_next, dc_next))
 
         S_border = B + S_acc[:nB, :nB]
         rhs_border = rB + S_acc[:nB, nB]
