@@ -48,11 +48,11 @@ _BIG = 1e19
 
 class ALMOptions(NamedTuple):
     tol: float = 1e-8              # final KKT tolerance
-    feas_tol: float = 0.0          # extra absolute feasibility requirement
+    feas_tol: float = 0.0          # feasibility requirement (0 -> use tol)
     mu_init: float = 0.1
     gamma_init: float = 0.1        # initial AL penalty (1/penalty weight)
-    gamma_min: float = 1e-8
-    gamma_shrink: float = 0.2
+    gamma_min: float = 1e-6
+    gamma_shrink: float = 0.5
     mu_shrink: float = 0.2
     theta_mu: float = 1.2          # superlinear mu exponent
     kappa_inner: float = 1.0       # inner tolerance = kappa_inner * mu
@@ -301,10 +301,27 @@ def solve(
         # ---- outer updates, applied only when the inner problem is done ----
         # Multiplier update; shrink gamma unless feasibility improved enough.
         theta_now = th_in
+        feas_target = jnp.asarray(
+            opts.feas_tol if opts.feas_tol > 0 else opts.tol, dtype)
         good_feas = theta_now <= 0.5 * st.theta_ref
+        # Penalty policy: multiplier updates are the primary driver of
+        # feasibility (theta ~ gamma * ||yhat - y*|| contracts per outer at
+        # FIXED gamma); shrink gamma only when an outer update made almost
+        # no feasibility progress (a genuine stall), and never once the
+        # target is met.  Over-shrinking is poison twice over: the
+        # condensed system turns ~1/gamma stiff (in float32 the objective
+        # curvature is erased entirely, stalling tangential optimization),
+        # and c/gamma amplifies feasibility noise into the duals.
+        stalled = theta_now > 0.9 * st.theta_ref
+        need_feas = theta_now > feas_target
         gamma_n = jnp.where(
-            inner_done & ~good_feas,
+            inner_done & stalled & need_feas,
             jnp.maximum(opts.gamma_min, gamma * opts.gamma_shrink), gamma)
+        # Penalty relaxation: once feasibility beats the requirement by a
+        # wide margin, a tighter gamma only adds stiffness.
+        gamma_n = jnp.where(
+            inner_done & (theta_now <= 0.1 * feas_target),
+            jnp.minimum(gamma_n * 5.0, opts.gamma_init), gamma_n)
         mu_min = opts.tol / 10.0
         mu_n = jnp.where(
             inner_done,
@@ -314,7 +331,7 @@ def solve(
         theta_ref_n = jnp.where(inner_done, theta_now, st.theta_ref)
 
         err0, viol, *_ = kkt_errors(v_n, y_n, zl_n, zu_n, 0.0)
-        conv = (err0 <= opts.tol) & (viol <= jnp.maximum(opts.feas_tol, opts.tol))
+        conv = (err0 <= opts.tol) & (viol <= feas_target)
 
         if opts.verbose:
             jax.debug.print(

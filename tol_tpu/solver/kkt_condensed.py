@@ -8,23 +8,28 @@ Solves the regularized saddle system
 by *eliminating the duals first* (Gamma > 0 strictly, e.g. the ALM penalty
 gamma), leaving the condensed primal system
 
-    ( H + Sigma + delta_w I + J^T Gamma^-1 J ) dv = rhs_v + J^T Gamma^-1 rhs_c
+    ( H~ + J^T Gamma^-1 J ) dv = rhs_v + J^T Gamma^-1 rhs_c,
       dy = Gamma^-1 (J dv - rhs_c)
 
-For the collocation NLPs this condensed matrix is block-TRIDIAGONAL in the
+For the collocation NLPs the condensed matrix is block-TRIDIAGONAL in the
 node variables (defect rows couple only neighbours) plus a small border
 (z_0, dt, slacks): one forward ``lax.scan`` of 11x11 Cholesky steps + a
-~13-wide dense border solve + a backward sweep.
+~13-wide dense border solve + a backward sweep.  The condensed matrix is
+the augmented-Lagrangian Hessian — positive definite near minimizers with
+the *exact* Hessian even though the Lagrangian's node blocks stay
+indefinite there (the tol problems sit on cost-flat manifolds), so no
+eigenvalue clamping is needed and fast local convergence survives.  Far
+from the solution, indefiniteness surfaces as a Cholesky NaN which the
+solver's delta_w escalation handles.
 
-Why this beats the 19-wide primal-dual chain (kkt_structured) for ALM: the
-condensed matrix is the *augmented-Lagrangian Hessian*, which is positive
-definite near any minimizer once gamma is small — even though the
-Lagrangian's node blocks stay indefinite there (the tol problems sit on
-cost-flat manifolds).  So the exact-Hessian Newton step factorizes with
-plain Cholesky, preserving fast local convergence, where the primal-dual
-ordering needed eigenvalue clamping that degraded the tail to a slow
-linear rate.  Far from the solution indefiniteness still surfaces as a
-Cholesky NaN, which the solver's delta_w escalation handles.
+Numerical key point — saddle-level iterative refinement: the condensed
+system has condition ~ ||J||^2/gamma, and the dual recovery divides by
+Gamma, amplifying primal solve error by another 1/gamma.  A naive solve
+therefore *increases* the outer dual residual once gamma is small (the
+"crawl" failure mode observed at ts=100).  The factorization is computed
+once and reused for refinement passes on the full saddle residual,
+recovering both primal and dual accuracy at fixed cost (``refine``
+passes, default 2).
 
 Cost per instance: O(T * 11^3) — every operation a tiny batched matmul,
 thousands of instances in lock-step under ``vmap`` on the MXU/VPU.
@@ -36,17 +41,13 @@ import jax
 import jax.numpy as jnp
 
 from tol_tpu.models.dynamics import NUM_STATES, NUM_VARS
+from tol_tpu.ops.smallalg import chol_unrolled, spd_inverse, tri_solve_unrolled
 from tol_tpu.solver.canonical import CanonicalNLP
 
 NS, NV = NUM_STATES, NUM_VARS
 
 
-def _cho_solve(L, B):
-    Y = jax.scipy.linalg.solve_triangular(L, B, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, Y, lower=False)
-
-
-def make_condensed_kkt(can: CanonicalNLP):
+def make_condensed_kkt(can: CanonicalNLP, refine: int = 2):
     nlp = can.nlp
     T, nb, n_s = nlp.T, nlp.nb, can.n_slack
     nB = NV + 1 + n_s  # border: z0, dt, s
@@ -82,12 +83,14 @@ def make_condensed_kkt(can: CanonicalNLP):
         """``delta_c`` (Gamma) must be strictly positive; scalar or (m,)."""
         inst = can.nlp._inst(inst)
         lb_all, _, fixed_all = can.bounds(inst)
-        free0 = (~fixed_all[1:1 + NV]).astype(lb_all.dtype)
+        m0 = (~fixed_all[1:1 + NV]).astype(lb_all.dtype)  # free mask, node 0
         dtype = v.dtype
 
-        gam = jnp.broadcast_to(delta_c, (NS * T + nb,))
-        Dd = (1.0 / gam[:NS * T]).reshape(T, NS)   # defect-row weights
-        Db = 1.0 / gam[NS * T:]                    # boundary-row weights
+        gam = jnp.broadcast_to(delta_c, (NS * T + nb,)).astype(dtype)
+        Gd = gam[:NS * T].reshape(T, NS)
+        Gb = gam[NS * T:]
+        Dd = 1.0 / Gd
+        Db = 1.0 / Gb
 
         Z, dt, s = can.split(v)
         y = y_all[:NS * T].reshape(T, NS)
@@ -97,34 +100,69 @@ def make_condensed_kkt(can: CanonicalNLP):
         sig_z = sigma[1:1 + (T + 1) * NV].reshape(T + 1, NV)
         sig_s = sigma[1 + (T + 1) * NV:]
 
-        r_dt = rhs_v[0]
-        r_z = rhs_v[1:1 + (T + 1) * NV].reshape(T + 1, NV)
-        r_s = rhs_v[1 + (T + 1) * NV:]
-        rc_d = rhs_c[:NS * T].reshape(T, NS)
-        rc_b = rhs_c[NS * T:]
-
-        # ---- Lagrangian derivative blocks ----
+        # ---- Lagrangian/Jacobian blocks (saddle-system operator data) ----
         u_nodes = jnp.concatenate([Z, jnp.full((T + 1, 1), dt, dtype=dtype)], axis=1)
         y_pad = jnp.concatenate([y, jnp.zeros((1, NS), dtype=dtype)])
-        Hn = node_hess(u_nodes, y_pad, inst)        # (T+1, 12, 12)
+        Hn = node_hess(u_nodes, y_pad, inst)
         Q = Hn[:, :NV, :NV] + jax.vmap(jnp.diag)(sig_z) \
             + delta_w * jnp.eye(NV, dtype=dtype)
-        qdt = Hn[:, :NV, NV]                        # (T+1, 11)
+        qdt = Hn[:, :NV, NV]
         sig_nodes = Hn[:, NV, NV]
 
-        A = defect_jac_z(Z[:-1], Z[1:], dt, inst)   # (T, 8, 11)
-        d = defect_jac_dt(Z[:-1], Z[1:], dt, inst)  # (T, 8)
+        A = defect_jac_z(Z[:-1], Z[1:], dt, inst)
+        d = defect_jac_dt(Z[:-1], Z[1:], dt, inst)
 
         ub_pt = jnp.concatenate([Z[0], Z[-1], jnp.reshape(dt, (1,))])
-        Hb = border_hess(ub_pt, w, inst)            # (23, 23)
+        Hb = border_hess(ub_pt, w, inst)
         G0, GT, Gdt = bnd_jac(Z[0], Z[-1], dt, inst)
+        G0 = G0 * m0[None, :]
         Gs = jnp.asarray(Gs_np, dtype=dtype)
+        A = A.at[0].set(A[0] * m0[None, :])  # defect-0 cols of fixed z0 -> 0
 
-        # ---- condensation: J^T Gamma^-1 J contributions ----
-        ADd = A * Dd[:, :, None]                    # (T, 8, 11) = Dd A
-        AtDdA = jnp.einsum("tsi,tsj->tij", A, ADd)  # (T, 11, 11)
-        # E^T Dd E = diag(Dd padded); E^T Dd A = rows 0:8 of ADd.
-        AtDd_d = jnp.einsum("tsi,ts->ti", A, Dd * d)   # (T, 11)
+        # Border-coupled Hessian pieces (masked on fixed z0 rows/cols).
+        Hb00 = Hb[:NV, :NV] * jnp.outer(m0, m0)
+        HbTT = Hb[NV:2 * NV, NV:2 * NV]
+        HbT0 = Hb[NV:2 * NV, :NV] * m0[None, :]
+        Hb0dt = Hb[:NV, 2 * NV] * m0
+        HbTdt = Hb[NV:2 * NV, 2 * NV]
+        sig_dt_tot = jnp.sum(sig_nodes) + Hb[2 * NV, 2 * NV] + sig_dt + delta_w
+
+        # ---------------- saddle operator application ----------------
+
+        def apply_saddle(dv, dy):
+            dZ = dv[1:1 + (T + 1) * NV].reshape(T + 1, NV)
+            dZ = dZ.at[0].multiply(m0)
+            ddt = dv[0]
+            ds = dv[1 + (T + 1) * NV:]
+            dyd = dy[:NS * T].reshape(T, NS)
+            dyb = dy[NS * T:]
+
+            r1_z = jnp.einsum("nij,nj->ni", Q, dZ) + qdt * ddt
+            r1_z = r1_z.at[:-1].add(jnp.einsum("tsi,ts->ti", A, dyd))
+            r1_z = r1_z.at[1:, :NS].add(dyd)
+            r1_z = r1_z.at[0].add(Hb00 @ dZ[0] + HbT0.T @ dZ[T]
+                                  + Hb0dt * ddt + G0.T @ dyb)
+            r1_z = r1_z.at[T].add(HbTT @ dZ[T] + HbT0 @ dZ[0]
+                                  + HbTdt * ddt + GT.T @ dyb)
+            r1_z = r1_z.at[0].multiply(m0)
+            r1_dt = (jnp.sum(qdt * dZ) + sig_dt_tot * ddt
+                     + Hb0dt @ dZ[0] + HbTdt @ dZ[T]
+                     + jnp.sum(d * dyd) + Gdt @ dyb)
+            r1_s = (sig_s + delta_w) * ds + Gs.T @ dyb
+            r2_d = (jnp.einsum("tsi,ti->ts", A, dZ[:-1]) + dZ[1:, :NS]
+                    + d * ddt - Gd * dyd)
+            r2_b = G0 @ dZ[0] + GT @ dZ[T] + Gdt * ddt - Gb * dyb
+            if n_s:
+                r2_b = r2_b + Gs @ ds
+            r1 = jnp.concatenate([jnp.reshape(r1_dt, (1,)), r1_z.reshape(-1), r1_s])
+            r2 = jnp.concatenate([r2_d.reshape(-1), r2_b])
+            return r1, r2
+
+        # -------- condensed factorization (rhs-independent, done once) ----
+
+        ADd = A * Dd[:, :, None]
+        AtDdA = jnp.einsum("tsi,tsj->tij", A, ADd)
+        AtDd_d = jnp.einsum("tsi,ts->ti", A, Dd * d)
         EtDd_d = jnp.concatenate([Dd * d, jnp.zeros((T, NV - NS), dtype=dtype)], axis=1)
         dtd = jnp.sum(Dd * d * d)
 
@@ -133,47 +171,28 @@ def make_condensed_kkt(can: CanonicalNLP):
         GsDb = Gs * Db[:, None]
         GdtDb = Gdt * Db
 
-        # ---- per-node diagonal blocks of the condensed matrix ----
         diagD = jnp.zeros((T + 1, NV, NV), dtype=dtype)
         diagD = diagD.at[:-1].add(AtDdA)
         pad_dd = jax.vmap(lambda r: jnp.diag(jnp.concatenate(
             [r, jnp.zeros(NV - NS, dtype=dtype)])))(Dd)
         diagD = diagD.at[1:].add(pad_dd)
         M = Q + diagD
-        M = M.at[T].add(Hb[NV:2 * NV, NV:2 * NV] + GT.T @ GTDb)
+        M = M.at[T].add(HbTT + GT.T @ GTDb)
 
-        # dt columns per node.
         qcol = qdt.at[:-1].add(AtDd_d).at[1:].add(EtDd_d)
-        qcol = qcol.at[T].add(Hb[NV:2 * NV, 2 * NV] + GT.T @ GdtDb)
+        qcol = qcol.at[T].add(HbTdt + GT.T @ GdtDb)
 
-        # off-diagonal (z_i, z_{i+1}) blocks: A_i^T Dd_i E (11 x 11, only
-        # the first 8 columns nonzero).
         O = jnp.concatenate(
             [jnp.swapaxes(ADd, 1, 2),
-             jnp.zeros((T, NV, NV - NS), dtype=dtype)], axis=2)  # (T,11,11)
+             jnp.zeros((T, NV, NV - NS), dtype=dtype)], axis=2)
 
-        # ---- condensed rhs ----
-        rz = r_z
-        rz = rz.at[:-1].add(jnp.einsum("tsi,ts->ti", A, Dd * rc_d))
-        rz = rz.at[1:].add(jnp.concatenate(
-            [Dd * rc_d, jnp.zeros((T, NV - NS), dtype=dtype)], axis=1))
-        rz = rz.at[T].add(GT.T @ (Db * rc_b))
-        rz = rz.at[0].add(G0.T @ (Db * rc_b))
-        r_dt_c = r_dt + jnp.sum(Dd * d * rc_d) + GdtDb @ rc_b
-        r_s_c = r_s + Gs.T @ (Db * rc_b)
-
-        # ---- border (z0, dt, s) ----
-        m0 = free0
         B0 = jnp.zeros((nB, nB), dtype=dtype)
-        Q0_eff = (M[0] + Hb[:NV, :NV] + G0.T @ G0Db)
-        Q0_eff = Q0_eff * jnp.outer(m0, m0) + jnp.diag(1.0 - m0)
-        q0_eff = (qcol[0] + Hb[:NV, 2 * NV] + G0.T @ GdtDb) * m0
+        Q0_eff = (M[0] + Hb00 + G0.T @ G0Db) * jnp.outer(m0, m0) + jnp.diag(1.0 - m0)
+        q0_eff = (qcol[0] + Hb0dt + G0.T @ GdtDb) * m0
         B0 = B0.at[sl_z0, sl_z0].set(Q0_eff)
         B0 = B0.at[sl_z0, sl_dt].set(q0_eff)
         B0 = B0.at[sl_dt, sl_z0].set(q0_eff)
-        sdt = jnp.sum(sig_nodes) + Hb[2 * NV, 2 * NV] + sig_dt + delta_w \
-            + dtd + GdtDb @ Gdt
-        B0 = B0.at[sl_dt, sl_dt].set(sdt)
+        B0 = B0.at[sl_dt, sl_dt].set(sig_dt_tot + dtd + GdtDb @ Gdt)
         if n_s:
             B0 = B0.at[sl_s, sl_s].set(jnp.diag(sig_s + delta_w) + Gs.T @ GsDb)
             z0s = (G0.T @ GsDb) * m0[:, None]
@@ -182,72 +201,105 @@ def make_condensed_kkt(can: CanonicalNLP):
             sdt_s = Gs.T @ GdtDb
             B0 = B0.at[sl_s, sl_dt].set(sdt_s)
             B0 = B0.at[sl_dt, sl_s].set(sdt_s)
-        rB = jnp.concatenate([rz[0] * m0, jnp.reshape(r_dt_c, (1,)), r_s_c])
 
-        # ---- chain inputs: blocks i = 1..T ----
-        W = jnp.zeros((T, NV, nB + 1), dtype=dtype)
-        W = W.at[:, :, sl_dt].set(qcol[1:])
-        # z0 couplings: block 1 via defect 0 (E^T Dd_0 A_0); block T via the
-        # border Hessian corner + boundary-row cross term.
-        O0 = O[0] * m0[:, None]                    # mask fixed z0 rows
-        W = W.at[0, :, sl_z0].set(O0.T)            # (z1 rows, z0 cols)
-        cornerT = (Hb[NV:2 * NV, :NV] + GT.T @ G0Db) * m0[None, :]
-        W = W.at[T - 1, :, sl_z0].add(cornerT)
+        Wc = jnp.zeros((T, NV, nB), dtype=dtype)
+        Wc = Wc.at[:, :, sl_dt].set(qcol[1:])
+        Wc = Wc.at[0, :, sl_z0].set(jnp.swapaxes(O[0] * m0[:, None], 0, 1))
+        cornerT = (HbT0 + GT.T @ G0Db) * m0[None, :]
+        Wc = Wc.at[T - 1, :, sl_z0].add(cornerT)
         if n_s:
-            W = W.at[T - 1, :, sl_s].add(GT.T @ GsDb)
-        W = W.at[:, :, nB].set(rz[1:])
+            Wc = Wc.at[T - 1, :, sl_s].add(GT.T @ GsDb)
 
-        M_chain = M[1:]                            # (T, 11, 11)
+        M_chain = M[1:]
         O_chain = jnp.concatenate([O[1:], jnp.zeros((1, NV, NV), dtype=dtype)])
 
-        def fwd(carry, inp):
-            X, S_acc = carry                       # X = Dprev^{-1} O_prev
+        def factor_step(carry, inp):
+            Dcorr, Wcorr, S_acc = carry
             Mi, Wi, Oi = inp
-            # X arrives as O_{i-1}^T-applied correction pieces:
-            #   D_i~ = M_i - O_{i-1}^T (D_{i-1}^{-1} O_{i-1})
-            #   (the O_{i-1}^T U-corrections ride along inside Wi via carry2)
-            Di, dW = X
-            Dt = Mi - Di
-            Wt = Wi - dW
-            L = jnp.linalg.cholesky(Dt)
-            t1 = _cho_solve(L, Wt)                 # (11, nB+1)
-            t2 = _cho_solve(L, Oi)                 # (11, 11)
-            S_acc = S_acc - Wt.T @ t1
-            X_next = (Oi.T @ t2, Oi.T @ t1)
-            return (X_next, S_acc), (t1, t2)
+            Dt = Mi - Dcorr
+            Wt = Wi - Wcorr
+            # Explicit SPD inverse (unrolled Cholesky): every later
+            # application is a plain matmul, which batches on the MXU.
+            Dinv = spd_inverse(Dt)
+            tW = Dinv @ Wt                     # D~^-1 W~  (11, nB)
+            t2 = Dinv @ Oi                     # D~^-1 O_i (11, 11)
+            S_acc = S_acc - Wt.T @ tW
+            return (Oi.T @ t2, Oi.T @ tW, S_acc), (Dinv, t2, tW, Wt)
 
-        X0 = (jnp.zeros((NV, NV), dtype=dtype), jnp.zeros((NV, nB + 1), dtype=dtype))
-        S0 = jnp.zeros((nB + 1, nB + 1), dtype=dtype)
-        ((_, S_acc), (t1s, t2s)) = jax.lax.scan(
-            fwd, (X0, S0), (M_chain, W, O_chain))
+        S0 = jnp.zeros((nB, nB), dtype=dtype)
+        (_, _, S_acc), (Dinvs, t2s, tWs, Wts) = jax.lax.scan(
+            factor_step,
+            (jnp.zeros((NV, NV), dtype=dtype), jnp.zeros((NV, nB), dtype=dtype), S0),
+            (M_chain, Wc, O_chain))
+        S_border = B0 + S_acc
+        L_border = chol_unrolled(S_border)
 
-        S_border = B0 + S_acc[:nB, :nB]
-        rhs_border = rB + S_acc[:nB, nB]
-        d_beta = jnp.linalg.solve(S_border, rhs_border)
+        # ---------------- solves reusing the stored factors ---------------
 
-        def bwd(dv_next, inp):
-            t1, t2 = inp
-            dv_i = t1[:, nB] - t1[:, :nB] @ d_beta - t2 @ dv_next
-            return dv_i, dv_i
+        def solve_once(rhs_v_, rhs_c_):
+            r_dt = rhs_v_[0]
+            r_z = rhs_v_[1:1 + (T + 1) * NV].reshape(T + 1, NV)
+            r_s = rhs_v_[1 + (T + 1) * NV:]
+            rc_d = rhs_c_[:NS * T].reshape(T, NS)
+            rc_b = rhs_c_[NS * T:]
 
-        _, dZ_chain = jax.lax.scan(bwd, jnp.zeros(NV, dtype=dtype), (t1s, t2s),
-                                   reverse=True)
+            rz = r_z
+            rz = rz.at[:-1].add(jnp.einsum("tsi,ts->ti", A, Dd * rc_d))
+            rz = rz.at[1:].add(jnp.concatenate(
+                [Dd * rc_d, jnp.zeros((T, NV - NS), dtype=dtype)], axis=1))
+            rz = rz.at[T].add(GT.T @ (Db * rc_b))
+            rz = rz.at[0].add(G0.T @ (Db * rc_b))
+            rz = rz.at[0].multiply(m0)
+            r_dt_c = r_dt + jnp.sum(Dd * d * rc_d) + GdtDb @ rc_b
+            r_s_c = r_s + Gs.T @ (Db * rc_b)
+            rB = jnp.concatenate([rz[0], jnp.reshape(r_dt_c, (1,)), r_s_c])
 
-        dz0 = d_beta[sl_z0] * m0
-        ddt = d_beta[sl_dt]
-        ds = d_beta[sl_s]
-        dZ = jnp.concatenate([dz0[None, :], dZ_chain])
-        dv_out = jnp.concatenate([jnp.reshape(ddt, (1,)), dZ.reshape(-1), ds])
+            def fwd(carry, inp):
+                rcorr, rB_acc = carry
+                Dinv, tW, Wt, Oi, ri = inp
+                rt = ri - rcorr
+                tr = Dinv @ rt                  # D~^-1 r~
+                rB_acc = rB_acc - Wt.T @ tr
+                return (Oi.T @ tr, rB_acc), tr
 
-        # ---- dual recovery: dy = Gamma^{-1} (J dv - rhs_c) ----
-        Jd = (jnp.einsum("tsi,ti->ts", A, dZ[:-1])
-              + dZ[1:, :NS] + d * ddt)             # (T, 8)
-        dy_d = Dd * (Jd - rc_d)
-        Jb = G0 @ dz0 + GT @ dZ[T] + Gdt * ddt
-        if n_s:
-            Jb = Jb + Gs @ ds
-        dy_b = Db * (Jb - rc_b)
-        dy_out = jnp.concatenate([dy_d.reshape(-1), dy_b])
-        return dv_out, dy_out
+            (_, rB_acc), trs = jax.lax.scan(
+                fwd, (jnp.zeros(NV, dtype=dtype), rB),
+                (Dinvs, tWs, Wts, O_chain, rz[1:]))
+
+            yb_ = tri_solve_unrolled(L_border, rB_acc[..., None], lower=True)
+            d_beta = tri_solve_unrolled(L_border, yb_, lower=True, trans=True)[..., 0]
+
+            def bwd(dv_next, inp):
+                tr, tW, t2 = inp
+                dv_i = tr - tW @ d_beta - t2 @ dv_next
+                return dv_i, dv_i
+
+            _, dZ_chain = jax.lax.scan(bwd, jnp.zeros(NV, dtype=dtype),
+                                       (trs, tWs, t2s), reverse=True)
+
+            dz0 = d_beta[sl_z0] * m0
+            ddt = d_beta[sl_dt]
+            ds = d_beta[sl_s]
+            dZ = jnp.concatenate([dz0[None, :], dZ_chain])
+            dv_out = jnp.concatenate([jnp.reshape(ddt, (1,)), dZ.reshape(-1), ds])
+            Jd = (jnp.einsum("tsi,ti->ts", A, dZ[:-1]) + dZ[1:, :NS] + d * ddt)
+            dy_d = Dd * (Jd - rc_d)
+            Jb = G0 @ dz0 + GT @ dZ[T] + Gdt * ddt
+            if n_s:
+                Jb = Jb + Gs @ ds
+            dy_b = Db * (Jb - rc_b)
+            dy_out = jnp.concatenate([dy_d.reshape(-1), dy_b])
+            return dv_out, dy_out
+
+        rhs_v_eff = jnp.where(fixed_all, 0.0, rhs_v)
+        dv, dy = solve_once(rhs_v_eff, rhs_c)
+        for _ in range(refine):
+            a1, a2 = apply_saddle(dv, dy)
+            e1 = jnp.where(fixed_all, 0.0, rhs_v_eff - a1)
+            e2 = rhs_c - a2
+            cv, cy = solve_once(e1, e2)
+            dv = dv + cv
+            dy = dy + cy
+        return dv, dy
 
     return kkt_solve
