@@ -66,6 +66,16 @@ class ALMOptions(NamedTuple):
     bound_push: float = 1e-2
     s_max: float = 100.0
     delta_decay: float = 0.2       # shift decay on success (0.9 = sticky)
+    # Row equilibration: constraint rows span orders of magnitude (position
+    # defects in meters vs angle defects in radians).  Scaling row i by its
+    # Jacobian norm s_i is applied through the per-row penalty
+    # Gamma_i = gamma * s_i^2 (equivalent to running the AL on c_i / s_i),
+    # which equilibrates the condensed system J^T Gamma^-1 J.  In practice
+    # it also rescales the effective multiplier-update rates per row and
+    # measured end-to-end convergence was worse — off by default, kept for
+    # experimentation (proper variable-space nondimensionalization is the
+    # planned fix for float32 headroom).
+    row_equilibrate: bool = False
     # Trigger outer updates on inner stagnation as well as on inner
     # convergence: when the accepted step is tiny, the (possibly modified-
     # Hessian) inner iteration has extracted what it can at this (mu, gamma)
@@ -130,6 +140,14 @@ def solve(
     c_fn = lambda v: can.c(v, inst)
     grad_f = jax.grad(f_fn)
     grad_lag = jax.grad(lambda v, y: f_fn(v) + c_fn(v) @ y, argnums=0)
+
+    if opts.row_equilibrate:
+        J0 = jax.jacfwd(c_fn)(interior_push_v0 := v0)  # one-time, at the seed
+        row_n = jnp.maximum(jnp.max(jnp.abs(J0), axis=1), 1e-6)
+        row_s = row_n / jnp.exp(jnp.mean(jnp.log(row_n)))  # geometric-mean 1
+        row_s2 = row_s * row_s
+    else:
+        row_s2 = jnp.ones(can.m, dtype)
 
     def lag_hvp(v, y, dv):
         return jax.jvp(lambda v_: grad_lag(v_, y), (v,), (dv,))[1]
@@ -215,7 +233,7 @@ def solve(
         rhs_c = jnp.zeros(can.m, dtype)
 
         delta_w = st.delta_w
-        gamma_rows = jnp.full((can.m,), 1.0, dtype) * gamma
+        gamma_rows = row_s2.astype(dtype) * gamma
         dv, dw = kkt_solve(v, y_al, sigma, delta_w, gamma_rows, rhs_v, rhs_c, inst)
         bad = ~(jnp.all(jnp.isfinite(dv)) & jnp.all(jnp.isfinite(dw)))
         dv = jnp.where(bad, 0.0, dv)
@@ -244,9 +262,20 @@ def solve(
         ok = al_vals <= al0 + opts.eta * alphas * d_al
         any_ok = jnp.any(ok)
         alpha = jnp.where(any_ok, alphas[jnp.argmax(ok)], 0.0)
-        alpha = jnp.where(bad | ~curv_ok, 0.0, alpha)
+        # Sub-noise regime: when even the full step's predicted decrease is
+        # below merit evaluation noise, Armijo outcomes are coin flips (the
+        # float32 endgame); take the full step unconditionally — damped
+        # Newton is locally convergent without a line search.
+        eps_m = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+        noise = 30.0 * eps_m * (1.0 + jnp.abs(al0))
+        sub_noise = (jnp.abs(d_al) * a_max <= noise)
+        alpha = jnp.where(sub_noise, a_max, alpha)
+        any_ok = any_ok | sub_noise
+        # In the sub-noise regime the sign of d_al is itself noise, so the
+        # descent test is waived there too.
+        alpha = jnp.where(bad | (~curv_ok & ~sub_noise), 0.0, alpha)
 
-        reject = bad | ~curv_ok | ~any_ok
+        reject = bad | (~curv_ok & ~sub_noise) | ~any_ok
         # NaN (failed factorization) escalates the shift aggressively; a
         # merit rejection more gently.
         delta_grown = jnp.where(
@@ -320,8 +349,8 @@ def solve(
         # Penalty relaxation: once feasibility beats the requirement by a
         # wide margin, a tighter gamma only adds stiffness.
         gamma_n = jnp.where(
-            inner_done & (theta_now <= 0.1 * feas_target),
-            jnp.minimum(gamma_n * 5.0, opts.gamma_init), gamma_n)
+            inner_done & (theta_now <= 0.02 * feas_target),
+            jnp.minimum(gamma_n * 2.0, opts.gamma_init), gamma_n)
         mu_min = opts.tol / 10.0
         mu_n = jnp.where(
             inner_done,
