@@ -12,15 +12,19 @@ from tol_tpu.models.dynamics import NUM_STATES, NUM_VARS
 
 def test_s10_seed_geometry():
     """Circle seed (src/problemS10.cpp:80-91): centre (-100,0), radius 100,
-    full lap; level flight at |v| = 2*pi*100/20."""
+    full lap; speed chosen inside the airframe envelope (coordinated turn
+    at 0.9*phimax, clamped to [1.1 Vamin, 0.9 Vamax])."""
     nlp = make_problem("S10", ts=100, wind_model=0)
     Z, dt = nlp.seed()
     assert Z.shape == (101, NUM_VARS)
-    assert float(dt) == pytest.approx(0.2)
     r = np.hypot(np.asarray(Z[:, 0]) + 100.0, np.asarray(Z[:, 1]))
     np.testing.assert_allclose(r, 100.0, atol=1e-8)
-    speed = 2 * np.pi * 100 / 20
-    np.testing.assert_allclose(np.asarray(Z[:, 3]), speed, atol=1e-8)
+    v_turn = np.sqrt(9.81 * np.tan(0.9 * np.deg2rad(20.0)) * 100.0)
+    speed = np.clip(v_turn, 1.1 * 12.0, 0.9 * 30.0)
+    np.testing.assert_allclose(np.asarray(Z[:, 3]), speed, rtol=1e-6)
+    assert float(dt) == pytest.approx(2 * np.pi * 100 / speed / 100, rel=1e-6)
+    # bank angle within limits by construction
+    assert np.abs(np.asarray(Z[:, 6])).max() <= np.deg2rad(20.0) + 1e-6
     np.testing.assert_allclose(np.asarray(Z[:, 4]), 0.0, atol=1e-12)  # gamma
     # chi winds one full turn
     assert float(Z[-1, 5] - Z[0, 5]) == pytest.approx(2 * np.pi, abs=1e-6)
@@ -34,17 +38,17 @@ def test_g7_seed_geometry():
     level flight at 4 m/s along chi_d, phi=0, T=D."""
     nlp = make_problem("G7", ts=50, wind_model=0)
     Z, dt = nlp.seed()
-    assert float(dt) == pytest.approx(10.0 / 50)
+    speed = 1.1 * 12.0  # max(4, 1.1*Vamin) for tempest
+    assert float(dt) == pytest.approx(40.0 / speed / 50, rel=1e-6)
     chi_d = np.arctan2(400.0, 0.0)
     np.testing.assert_allclose(np.asarray(Z[:, 5]), chi_d, atol=1e-9)
-    np.testing.assert_allclose(np.asarray(Z[:, 3]), 4.0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Z[:, 3]), speed, atol=1e-9)
     np.testing.assert_allclose(np.asarray(Z[:, 6]), 0.0, atol=1e-9)  # phi
-    # positions advance along chi_d
+    # positions advance along chi_d for 40 m total
     np.testing.assert_allclose(np.asarray(Z[-1, 0]), 40.0 * np.cos(chi_d), atol=1e-7)
     np.testing.assert_allclose(np.asarray(Z[-1, 1]), 40.0 * np.sin(chi_d), atol=1e-7)
-    # level flight: L = m g => CL = 2 m g / (rho V^2 S); T = D
-    ac = make_problem("G7", ts=4, wind_model=0)  # reuse aircraft via nlp? simpler below
-    CL_expect = 2 * 6.1228 * GRAVITY / (RHO * 16.0 * 0.6316)
+    # level flight: L = m g => CL = 2 m g / (rho V^2 S)
+    CL_expect = 2 * 6.1228 * GRAVITY / (RHO * speed**2 * 0.6316)
     np.testing.assert_allclose(np.asarray(Z[:, 7]), CL_expect, rtol=1e-6)
 
 

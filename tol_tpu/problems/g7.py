@@ -62,8 +62,9 @@ def make(cfg: ProblemConfig, dtype):
     is_ineq[-1] = True  # dist <= dmax (src/problem.cpp:345-350)
 
     def seed(inst):
-        return invert_flight_mechanics(
-            g7_seed_path(ts, _chi_d(inst), dtype=dtype), inst.aircraft,
-            periodic_rates=False)
+        path = g7_seed_path(ts, _chi_d(inst), vamin=inst.aircraft.Vamin,
+                            vamax=inst.aircraft.Vamax, dtype=dtype)
+        return invert_flight_mechanics(path, inst.aircraft,
+                                       periodic_rates=False)
 
     return node_cost, global_cost, boundary, is_ineq, seed

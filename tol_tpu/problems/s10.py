@@ -41,7 +41,7 @@ def make(cfg: ProblemConfig, dtype):
     is_ineq = np.zeros(NUM_VARS, dtype=bool)  # 11 equality rows
 
     def seed(inst):
-        return invert_flight_mechanics(
-            s10_seed_path(ts, dtype=dtype), inst.aircraft, periodic_rates=True)
+        path = s10_seed_path(ts, dtype=dtype, aircraft=inst.aircraft)
+        return invert_flight_mechanics(path, inst.aircraft, periodic_rates=True)
 
     return node_cost, global_cost, boundary, is_ineq, seed

@@ -99,27 +99,40 @@ def invert_flight_mechanics(path: SeedPath, ac: AircraftParams,
     return Z, path.dt
 
 
-def g7_seed_path(ts: int, chi_d: jax.Array, dtype=jnp.float64) -> SeedPath:
+def g7_seed_path(ts: int, chi_d: jax.Array, vamin=None, vamax=None,
+                 dtype=jnp.float64) -> SeedPath:
     """Straight-line seed rotated to the goal course (src/problemG7.cpp:38-88).
 
-    tfinal=10s, xAmp=40m: positions advance along chi_d at 4 m/s; velocities
-    stay unrotated with ``chi_d`` added to the course angle instead
-    (src/problemG7.cpp:109).
+    The reference flies the seed at xAmp/tfinal = 4 m/s regardless of the
+    airframe (src/problemG7.cpp:39-41) — below most airframes' Vamin, so
+    the solver starts with every node bound-clipped and every defect
+    broken.  When airframe speed limits are provided the seed speed is
+    clamped inside them (same 40 m distance, adjusted duration); the
+    course-angle treatment matches the reference (positions rotated by
+    chi_d, velocities unrotated with chi_d added to the course,
+    src/problemG7.cpp:86-88,109).
     """
-    tfinal, xAmp = 10.0, 40.0
+    xAmp = 40.0
+    speed = jnp.asarray(4.0, dtype=dtype)
+    if vamin is not None:
+        speed = jnp.maximum(speed, 1.1 * jnp.asarray(vamin, dtype=dtype))
+    if vamax is not None:
+        speed = jnp.minimum(speed, 0.9 * jnp.asarray(vamax, dtype=dtype))
+    tfinal = xAmp / speed
     dt = jnp.asarray(tfinal / ts, dtype=dtype)
     t = jnp.arange(ts + 1, dtype=dtype) * dt
-    xs = xAmp / tfinal * t
+    xs = speed * t
     zero = jnp.zeros_like(t)
     # Rotate positions by yaw chi_d (src/problemG7.cpp:520-542).
     pos = jnp.stack([xs * jnp.cos(chi_d), xs * jnp.sin(chi_d), zero], axis=1)
-    vel = jnp.stack([jnp.full_like(t, xAmp / tfinal), zero, zero], axis=1)
+    vel = jnp.stack([speed * jnp.ones_like(t), zero, zero], axis=1)
     acc = jnp.zeros_like(pos)
     return SeedPath(pos=pos, vel=vel, acc=acc, dt=dt,
                     chi_offset=jnp.asarray(chi_d, dtype=dtype))
 
 
-def s10_seed_path(ts: int, dtype=jnp.float64, phase: float = 0.5 * jnp.pi) -> SeedPath:
+def s10_seed_path(ts: int, dtype=jnp.float64, phase: float = 0.5 * jnp.pi,
+                  aircraft=None, radius: float = 100.0) -> SeedPath:
     """Circular loiter seed (src/problemS10.cpp:38-91).
 
     tfinal=20s, radius 100m: the reference path x = A sin(wt) - A,
@@ -132,8 +145,22 @@ def s10_seed_path(ts: int, dtype=jnp.float64, phase: float = 0.5 * jnp.pi) -> Se
     winding, but consistent with the pinned first node (an interior-point
     method starts dramatically better from a bound-feasible seed).  Pass
     ``phase=0`` for the reference's exact seed.
+
+    When ``aircraft`` is given, the circle speed is additionally chosen
+    flyable: the reference's 31.4 m/s exceeds e.g. Tempest's 30 m/s Vamax
+    and needs a 45-degree bank against its 20-degree phimax, so the raw
+    seed starts with every node clipped into the bound boxes and all
+    defects broken.  A coordinated-turn-feasible speed
+    V = sqrt(g tan(0.9 phimax) R), clamped into [1.1 Vamin, 0.9 Vamax],
+    starts near the dynamics manifold (and near the optimal loiter period).
     """
-    tfinal, amp = 20.0, 100.0
+    amp = radius
+    if aircraft is not None:
+        v_turn = jnp.sqrt(GRAVITY * jnp.tan(0.9 * aircraft.phimax) * amp)
+        speed = jnp.clip(v_turn, 1.1 * aircraft.Vamin, 0.9 * aircraft.Vamax)
+        tfinal = 2.0 * jnp.pi * amp / speed
+    else:
+        tfinal = 20.0
     dt = jnp.asarray(tfinal / ts, dtype=dtype)
     t = jnp.arange(ts + 1, dtype=dtype) * dt
     w = 2.0 * jnp.pi / tfinal

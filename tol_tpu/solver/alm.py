@@ -383,7 +383,11 @@ def solve(
     def cond(st: ALMState):
         return (~st.converged) & (st.it < opts.max_iter)
 
-    final = jax.lax.while_loop(cond, step, init_state())
+    # TPU matmuls default to bfloat16 passes; a Newton-KKT pipeline cannot
+    # survive 8-bit mantissas.  "highest" forces true float32 MXU passes
+    # (and is a no-op for float64 on CPU).
+    with jax.default_matmul_precision("highest"):
+        final = jax.lax.while_loop(cond, step, init_state())
     cv = c_fn(final.v)
     y_fin = final.yhat + cv / final.gamma
     _, viol, *_ = kkt_errors(final.v, y_fin, final.zl, final.zu, 0.0)
