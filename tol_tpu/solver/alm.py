@@ -54,6 +54,9 @@ class ALMOptions(NamedTuple):
     gamma_min: float = 1e-6
     gamma_shrink: float = 0.5
     mu_shrink: float = 0.2
+    mu_min: float = 0.0            # barrier floor (0 -> min(tol/10, mu_init));
+                                   # a floor ~eps/sqrt(eps) stabilizes the
+                                   # float32 endgame via the sigma term
     theta_mu: float = 1.2          # superlinear mu exponent
     kappa_inner: float = 1.0       # inner tolerance = kappa_inner * mu
     tau_min: float = 0.99
@@ -81,11 +84,29 @@ class ALMOptions(NamedTuple):
     # Hessian) inner iteration has extracted what it can at this (mu, gamma)
     # — move the outer problem instead of grinding.
     stagnation_outer: bool = True
+    # Record per-iteration (kkt_err, mu, gamma, delta_w, viol) via a fixed-
+    # length scan; returned as ALMResult.trace.  TPU-safe (no callbacks).
+    trace: bool = False
+    # Proximal ALM: add rho/2 ||v - v_ref||^2 to the inner merit, with
+    # v_ref re-centered at every outer update.  The tol NLPs are
+    # *degenerate* (cost-flat manifolds: loiter phase / altitude), so the
+    # plain AL inner Hessian is singular along those directions and Newton
+    # oscillates there for hundreds of iterations (observed: ~800 of 1200
+    # total iterations spent creeping 1e-4/outer along the flat manifold).
+    # The prox term makes every inner problem strongly convex — the
+    # classical (Rockafellar) proximal method of multipliers, which
+    # converges linearly without any constraint qualification.  The prox
+    # center moves each outer round, so the stationary points of the
+    # original NLP are unchanged.  Off by default (exact-Newton endgame);
+    # enable ~1e-3 for ill-posed instances where feasibility matters more
+    # than last-digit stationarity.
+    prox: float = 0.0
     verbose: bool = False
 
 
 class ALMState(NamedTuple):
     v: jax.Array
+    v_ref: jax.Array      # proximal center (last outer iterate)
     yhat: jax.Array       # outer multiplier estimate
     zl: jax.Array
     zu: jax.Array
@@ -108,6 +129,7 @@ class ALMResult(NamedTuple):
     converged: jax.Array
     kkt_err: jax.Array
     constr_viol: jax.Array
+    trace: tuple | None = None   # opts.trace: per-iter (kkt, mu, gamma, dw, viol)
 
 
 def _inf_norm(x):
@@ -161,12 +183,16 @@ def solve(
         v = jnp.where(both, mid, v)
         return jnp.where(fixed, lb, v)
 
-    def al_value(v, yhat, gamma, mu):
+    rho = jnp.asarray(opts.prox, dtype)
+
+    def al_value(v, v_ref, yhat, gamma, mu):
         dl = jnp.where(has_lb, v - lb, 1.0)
         du = jnp.where(has_ub, ub - v, 1.0)
         ok = jnp.all(dl > 0) & jnp.all(du > 0)
         cv = c_fn(v)
+        pv = v - v_ref
         val = (f_fn(v) + yhat @ cv + (cv @ cv) / (2.0 * gamma)
+               + 0.5 * rho * (pv @ pv)
                - mu * (jnp.sum(jnp.where(has_lb, jnp.log(dl), 0.0))
                        + jnp.sum(jnp.where(has_ub, jnp.log(du), 0.0))))
         return jnp.where(ok, val, jnp.inf)
@@ -206,7 +232,7 @@ def solve(
         cv = c_fn(v)
         err, *_ = kkt_errors(v, yhat, zl, zu, 0.0)
         return ALMState(
-            v=v, yhat=yhat, zl=zl, zu=zu, mu=mu,
+            v=v, v_ref=v, yhat=yhat, zl=zl, zu=zu, mu=mu,
             gamma=jnp.asarray(opts.gamma_init, dtype),
             delta_w=jnp.zeros((), dtype),
             theta_ref=_inf_norm(cv),
@@ -227,6 +253,7 @@ def solve(
 
         # grad of AL_mu (with primal-dual barrier handled via sigma/rhs).
         g_al = (grad_lag(v, y_al)
+                + rho * (v - st.v_ref)
                 - jnp.where(has_lb, mu / dl, 0.0)
                 + jnp.where(has_ub, mu / du, 0.0))
         rhs_v = jnp.where(fixed, 0.0, -g_al)
@@ -234,7 +261,9 @@ def solve(
 
         delta_w = st.delta_w
         gamma_rows = row_s2.astype(dtype) * gamma
-        dv, dw = kkt_solve(v, y_al, sigma, delta_w, gamma_rows, rhs_v, rhs_c, inst)
+        # The prox Hessian rho*I rides the same diagonal shift channel.
+        dv, dw = kkt_solve(v, y_al, sigma, delta_w + rho, gamma_rows,
+                           rhs_v, rhs_c, inst)
         bad = ~(jnp.all(jnp.isfinite(dv)) & jnp.all(jnp.isfinite(dw)))
         dv = jnp.where(bad, 0.0, dv)
         dw = jnp.where(bad, 0.0, dw)
@@ -255,10 +284,11 @@ def solve(
         )
 
         # Plain Armijo on the smooth AL merit, trials in parallel.
-        al0 = al_value(v, yhat, gamma, mu)
+        al0 = al_value(v, st.v_ref, yhat, gamma, mu)
         d_al = g_al @ dv
         alphas = a_max * (0.5 ** jnp.arange(opts.max_ls, dtype=dtype))
-        al_vals = jax.vmap(lambda a: al_value(v + a * dv, yhat, gamma, mu))(alphas)
+        al_vals = jax.vmap(
+            lambda a: al_value(v + a * dv, st.v_ref, yhat, gamma, mu))(alphas)
         ok = al_vals <= al0 + opts.eta * alphas * d_al
         any_ok = jnp.any(ok)
         alpha = jnp.where(any_ok, alphas[jnp.argmax(ok)], 0.0)
@@ -351,13 +381,14 @@ def solve(
         gamma_n = jnp.where(
             inner_done & (theta_now <= 0.02 * feas_target),
             jnp.minimum(gamma_n * 2.0, opts.gamma_init), gamma_n)
-        mu_min = opts.tol / 10.0
+        mu_min = opts.mu_min if opts.mu_min > 0 else min(opts.tol / 10.0, opts.mu_init)
         mu_n = jnp.where(
             inner_done,
             jnp.maximum(mu_min, jnp.minimum(opts.mu_shrink * mu, mu ** opts.theta_mu)),
             mu)
         yhat_n = jnp.where(inner_done, y_n, yhat)
         theta_ref_n = jnp.where(inner_done, theta_now, st.theta_ref)
+        v_ref_n = jnp.where(inner_done, v_n, st.v_ref)
 
         err0, viol, *_ = kkt_errors(v_n, y_n, zl_n, zu_n, 0.0)
         conv = (err0 <= opts.tol) & (viol <= feas_target)
@@ -372,7 +403,7 @@ def solve(
                 cvt=curv_ok, od=inner_done, dal=d_al, d0=al_vals[0]-al0, ndv=_inf_norm(dv))
 
         new = ALMState(
-            v=v_n, yhat=yhat_n, zl=zl_n, zu=zu_n, mu=mu_n, gamma=gamma_n,
+            v=v_n, v_ref=v_ref_n, yhat=yhat_n, zl=zl_n, zu=zu_n, mu=mu_n, gamma=gamma_n,
             delta_w=delta_next, theta_ref=theta_ref_n, it=st.it + 1,
             converged=conv, kkt_err=err0,
         )
@@ -387,12 +418,24 @@ def solve(
     # survive 8-bit mantissas.  "highest" forces true float32 MXU passes
     # (and is a no-op for float64 on CPU).
     with jax.default_matmul_precision("highest"):
-        final = jax.lax.while_loop(cond, step, init_state())
+        if opts.trace:
+            # Diagnostic mode: fixed-length scan recording per-iteration
+            # scalars (works on TPU where debug callbacks are unavailable).
+            def scan_step(st, _):
+                st_n = jax.lax.cond(cond(st), step, lambda s: s, st)
+                rec = (st_n.kkt_err, st_n.mu, st_n.gamma, st_n.delta_w,
+                       _inf_norm(c_fn(st_n.v)))
+                return st_n, rec
+            final, trace = jax.lax.scan(scan_step, init_state(), None,
+                                        length=opts.max_iter)
+        else:
+            final = jax.lax.while_loop(cond, step, init_state())
+            trace = None
     cv = c_fn(final.v)
     y_fin = final.yhat + cv / final.gamma
     _, viol, *_ = kkt_errors(final.v, y_fin, final.zl, final.zu, 0.0)
     return ALMResult(
         v=final.v, y=y_fin, zl=final.zl, zu=final.zu,
         f=f_fn(final.v), iterations=final.it, converged=final.converged,
-        kkt_err=final.kkt_err, constr_viol=viol,
+        kkt_err=final.kkt_err, constr_viol=viol, trace=trace,
     )

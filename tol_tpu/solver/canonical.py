@@ -21,7 +21,7 @@ solves are ``jax.vmap`` over stacked instances / initial points.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +29,64 @@ import numpy as np
 
 from tol_tpu.models.dynamics import NUM_STATES, NUM_VARS
 from tol_tpu.problems.base import CollocationNLP, Instance
+
+
+class Scaling(NamedTuple):
+    """Diagonal nondimensionalization of the NLP.
+
+    The solver works on ``u = v / d`` with constraint rows divided by
+    ``r``; physically the decision variables span four orders of magnitude
+    (positions in meters ~1e2, angles/rates ~3e-1, thrust ~1e1, dt ~2e-1),
+    so the unscaled Lagrangian Hessian has eigenvalue spread ~1e8: the
+    energy-management direction (altitude/thrust trade) has curvature
+    ~1e-4 in meters and any uniform regularization shift freezes it —
+    observed as an ~800-iteration creep.  In scaled units the spread
+    collapses and the same shift is harmless; float32 also gains uniform
+    headroom (the SNOPT reference relies on SNOPT's internal row/column
+    scaling for exactly this).
+    """
+
+    d_z: jax.Array    # (11,) per-kind variable scales
+    d_dt: jax.Array   # scalar dt scale
+    r_b: jax.Array    # (nb,) boundary row scales
+
+
+def default_scaling(nlp: CollocationNLP, dtype=None) -> Scaling:
+    """Physics-derived scales from the default instance (concrete values)."""
+    inst = nlp.inst0
+    dtype = dtype or inst.z_lo.dtype
+    ac = inst.aircraft
+    pos = jnp.maximum(jnp.asarray(inst.goal.rg, dtype), 100.0)
+    d_z = jnp.stack([
+        pos, pos, pos,
+        jnp.asarray(ac.Vamax, dtype) / 2.0,
+        jnp.asarray(ac.gammamax, dtype),
+        jnp.asarray(3.0, dtype),                    # course chi ~ pi
+        jnp.asarray(ac.phimax, dtype),
+        jnp.maximum(jnp.abs(jnp.asarray(ac.CLmax, dtype)), 0.5),
+        jnp.asarray(ac.phidotmax, dtype),
+        jnp.asarray(ac.phidotmax, dtype),           # dCL bound reuses phidotmax
+        jnp.maximum(jnp.asarray(ac.Tmax, dtype) / 4.0, 1.0),
+    ]).astype(dtype)
+    d_dt = (0.5 * (jnp.asarray(inst.dt_lo, dtype) + jnp.asarray(inst.dt_hi, dtype)))
+    # Boundary rows: norm of the scaled Jacobian row at the seed point
+    # (row units vary per mission: meters for position/periodicity rows,
+    # radians for angle rows, meters for G7's dist row).
+    Z0, dt0 = nlp.seed_fn(inst)
+    G0, GT, Gdt = jax.jacfwd(nlp.boundary_fn, argnums=(0, 1, 2))(
+        Z0[0], Z0[-1], dt0, inst)
+    row = jnp.sqrt((G0 * d_z[None, :]) ** 2 @ jnp.ones(d_z.shape[0], dtype)
+                   + (GT * d_z[None, :]) ** 2 @ jnp.ones(d_z.shape[0], dtype)
+                   + (Gdt * d_dt) ** 2)
+    r_b = jnp.clip(row, 1e-2, 1e6).astype(dtype)
+    return Scaling(d_z=d_z, d_dt=d_dt.astype(dtype), r_b=r_b)
+
+
+def unit_scaling(nlp: CollocationNLP, dtype=None) -> Scaling:
+    dtype = dtype or nlp.inst0.z_lo.dtype
+    return Scaling(d_z=jnp.ones(NUM_VARS, dtype),
+                   d_dt=jnp.ones((), dtype),
+                   r_b=jnp.ones(nlp.nb, dtype))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -40,6 +98,8 @@ class CanonicalNLP:
     f: Callable[[jax.Array, Instance], jax.Array]
     c: Callable[[jax.Array, Instance], jax.Array]
     bounds: Callable[[Instance], tuple]
+    scaling: Scaling | None = None
+    nlp_phys: CollocationNLP | None = None   # pre-scaling original
 
     def split(self, v: jax.Array):
         """v -> (Z, dt, s)."""
@@ -64,8 +124,81 @@ class CanonicalNLP:
             s = jnp.zeros((0,), dtype=Z.dtype)
         return self.join(Z, dt, s)
 
+    def v_scale(self) -> jax.Array:
+        """Per-entry scale of the full decision vector (1s when unscaled)."""
+        T = self.nlp.T
+        if self.scaling is None:
+            n = 1 + (T + 1) * NUM_VARS + self.n_slack
+            return jnp.ones(n, self.nlp.inst0.z_lo.dtype)
+        sc = self.scaling
+        ineq = np.flatnonzero(self.nlp.boundary_is_ineq)
+        d_s = sc.r_b[jnp.asarray(ineq, dtype=jnp.int32)] if self.n_slack else \
+            jnp.zeros((0,), sc.d_z.dtype)
+        return jnp.concatenate([
+            jnp.reshape(sc.d_dt, (1,)),
+            jnp.tile(sc.d_z, T + 1),
+            d_s,
+        ])
 
-def canonicalize(nlp: CollocationNLP) -> CanonicalNLP:
+    def to_physical(self, v: jax.Array) -> jax.Array:
+        """Scaled solver iterate -> physical units (identity if unscaled)."""
+        return v * self.v_scale() if self.scaling is not None else v
+
+    def from_physical(self, v: jax.Array) -> jax.Array:
+        return v / self.v_scale() if self.scaling is not None else v
+
+
+def _scale_nlp(nlp: CollocationNLP, sc: Scaling) -> CollocationNLP:
+    """Scaled twin of ``nlp``: functions take/return nondimensional values.
+
+    Instances stay physical; only the decision variables and constraint
+    rows are transformed (v = d * u, rows / r).  The block structure is
+    preserved exactly (diagonal, per-variable-kind), so the structured KKT
+    backends apply unchanged.
+    """
+    d_z, d_dt = sc.d_z, sc.d_dt
+    r_d = sc.d_z[:NUM_STATES]        # defect row i has units of state i
+    r_b = sc.r_b
+
+    raw_node, raw_glob = nlp.node_cost_fn, nlp.global_cost_fn
+    raw_defect, raw_boundary, raw_seed = nlp.defect_fn, nlp.boundary_fn, nlp.seed_fn
+
+    def node_cost(z, dt, inst):
+        return raw_node(d_z * z, d_dt * dt, inst)
+
+    def global_cost(z0, zT, dt, inst):
+        return raw_glob(d_z * z0, d_z * zT, d_dt * dt, inst)
+
+    def defect(z_i, z_ip1, dt, inst):
+        return raw_defect(d_z * z_i, d_z * z_ip1, d_dt * dt, inst) / r_d
+
+    def boundary(z0, zT, dt, inst):
+        return raw_boundary(d_z * z0, d_z * zT, d_dt * dt, inst) / r_b
+
+    def seed(inst):
+        Z, dt = raw_seed(inst)
+        return Z / d_z[None, :], dt / d_dt
+
+    return dataclasses.replace(
+        nlp, node_cost_fn=node_cost, global_cost_fn=global_cost,
+        defect_fn=defect, boundary_fn=boundary, seed_fn=seed)
+
+
+def canonicalize(
+    nlp: CollocationNLP,
+    scaling: Scaling | str | None = None,
+) -> CanonicalNLP:
+    """Canonical form; ``scaling="auto"`` nondimensionalizes (recommended —
+    the solvers then see O(1) variables/rows; map iterates back with
+    ``can.to_physical``)."""
+    if isinstance(scaling, str):
+        if scaling != "auto":
+            raise ValueError(f"unknown scaling mode {scaling!r}")
+        scaling = default_scaling(nlp)
+    nlp_phys = nlp if scaling is not None else None
+    if scaling is not None:
+        nlp = _scale_nlp(nlp, scaling)
+
     T = nlp.T
     dtype = nlp.inst0.z_lo.dtype
     ineq_idx = np.flatnonzero(nlp.boundary_is_ineq)
@@ -95,17 +228,40 @@ def canonicalize(nlp: CollocationNLP) -> CanonicalNLP:
             b = b + jnp.asarray(slack_scatter_np, dtype=v.dtype) @ s
         return jnp.concatenate([d, b])
 
-    def bounds(inst):
-        lb = jnp.concatenate([
-            jnp.reshape(inst.dt_lo, (1,)), inst.z_lo.reshape(-1),
-            jnp.zeros(n_slack, dtype=dtype),
-        ])
-        ub = jnp.concatenate([
-            jnp.reshape(inst.dt_hi, (1,)), inst.z_up.reshape(-1),
-            jnp.full((n_slack,), 1e20, dtype=dtype),
-        ])
-        return lb, ub, lb == ub
+    if scaling is None:
+        def bounds(inst):
+            lb = jnp.concatenate([
+                jnp.reshape(inst.dt_lo, (1,)), inst.z_lo.reshape(-1),
+                jnp.zeros(n_slack, dtype=dtype),
+            ])
+            ub = jnp.concatenate([
+                jnp.reshape(inst.dt_hi, (1,)), inst.z_up.reshape(-1),
+                jnp.full((n_slack,), 1e20, dtype=dtype),
+            ])
+            return lb, ub, lb == ub
+    else:
+        sc = scaling
+        d_s = (sc.r_b[jnp.asarray(ineq_idx, dtype=jnp.int32)]
+               if n_slack else jnp.zeros((0,), dtype))
+
+        def bounds(inst):
+            # Infinite bounds must stay infinite after scaling (the solver
+            # tests `> -_BIG`), so divide only finite entries.
+            z_lo = jnp.where(jnp.abs(inst.z_lo) < 1e19,
+                             inst.z_lo / sc.d_z[None, :], inst.z_lo)
+            z_up = jnp.where(jnp.abs(inst.z_up) < 1e19,
+                             inst.z_up / sc.d_z[None, :], inst.z_up)
+            lb = jnp.concatenate([
+                jnp.reshape(inst.dt_lo / sc.d_dt, (1,)), z_lo.reshape(-1),
+                jnp.zeros(n_slack, dtype=dtype),
+            ])
+            ub = jnp.concatenate([
+                jnp.reshape(inst.dt_hi / sc.d_dt, (1,)), z_up.reshape(-1),
+                jnp.full((n_slack,), 1e20, dtype=dtype),
+            ])
+            return lb, ub, lb == ub
 
     return CanonicalNLP(
         nlp=nlp, n=n, m=m, n_slack=n_slack, f=f, c=c, bounds=bounds,
+        scaling=scaling, nlp_phys=nlp_phys,
     )
