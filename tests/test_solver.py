@@ -71,3 +71,57 @@ def test_stationarity_independent_check(s10_solution):
     r = np.asarray(g - res.zl + res.zu)
     free = ~np.asarray(can.bounds(inst)[2])
     assert np.abs(r[free]).max() < 1e-4 * max(1.0, np.abs(np.asarray(res.y)).max())
+
+
+def test_scaled_canonical_agrees_with_unscaled():
+    """The nondimensionalized path must find the same optimum as the
+    unscaled oracle path (mapped back through to_physical)."""
+    from tol_tpu.solver.kkt_condensed import make_condensed_kkt
+
+    nlp = make_problem("S10", aircraft="tempest", ts=12, wind_model=1)
+    can_u = canonicalize(nlp)
+    res_u = alm_solve(can_u, make_dense_kkt(can_u),
+                      ALMOptions(tol=1e-6, max_iter=600))
+    can_s = canonicalize(nlp, scaling="auto")
+    res_s = alm_solve(can_s, make_condensed_kkt(can_s),
+                      ALMOptions(tol=1e-6, max_iter=600, gamma_init=0.01,
+                                 mu_init=1e-4, mu_shrink=0.1))
+    assert bool(res_u.converged) and float(res_s.constr_viol) < 1e-6
+    v_s = np.asarray(can_s.to_physical(res_s.v))
+    # Same optimal period (dt is the S10 cost up to kdt).
+    assert v_s[0] == pytest.approx(float(res_u.v[0]), rel=1e-3)
+    assert float(res_s.f) == pytest.approx(float(res_u.f), rel=1e-3)
+
+
+@pytest.mark.slow
+def test_golden_flat_manifold():
+    """Documents WHY the bench gates on cost gap, not control L2: at the
+    fully converged oracle point the reduced Hessian has an O(100)-dim
+    near-null subspace (|eig| < 1e-3 in scaled units) — the S10 optimum is
+    a cost-flat manifold, so pointwise comparison between two exact
+    solvers' solutions is ill-posed while the cost gap is well-defined."""
+    import os
+    golden_path = os.path.join(os.path.dirname(__file__),
+                               "golden_s10_ts100.npy")
+    golden = np.load(golden_path)
+    nlp = make_problem("S10", aircraft="tempest", ts=100, wind_model=1)
+    can = canonicalize(nlp, scaling="auto")
+    inst = can.nlp.inst0
+    v = can.from_physical(jnp.asarray(golden))
+    lb, ub, fixed = can.bounds(inst)
+    va, lbn, ubn = np.asarray(v), np.asarray(lb), np.asarray(ub)
+    act = (va - lbn < 1e-6) | (ubn - va < 1e-6) | np.asarray(fixed)
+    free = ~act
+    J = np.asarray(jax.jacfwd(lambda vv: can.c(vv, inst))(v))[:, free]
+    g = np.asarray(jax.grad(lambda vv: can.f(vv, inst))(v))[free]
+    y, *_ = np.linalg.lstsq(J.T, g, rcond=None)
+    H = np.asarray(jax.hessian(
+        lambda vv: can.f(vv, inst) + can.c(vv, inst) @ jnp.asarray(y))(v))
+    U, S, Vt = np.linalg.svd(J, full_matrices=True)
+    rank = int((S > 1e-8 * S[0]).sum())
+    N = Vt[rank:].T
+    w = np.linalg.eigvalsh(N.T @ H[np.ix_(free, free)] @ N)
+    # The golden really is (second-order) optimal up to flatness ...
+    assert w.min() > -1e-2
+    # ... and the flat subspace is large.
+    assert int((np.abs(w) < 1e-3).sum()) > 100

@@ -61,7 +61,8 @@ class ALMOptions(NamedTuple):
     kappa_inner: float = 1.0       # inner tolerance = kappa_inner * mu
     tau_min: float = 0.99
     max_iter: int = 400
-    max_ls: int = 20
+    max_ls: int = 12    # parallel Armijo trials; the sub-noise full-step
+                        # rule covers the tail below a_max * 2^-12
     eta: float = 1e-4              # Armijo factor
     delta_w_min: float = 1e-12
     delta_w_max: float = 1e6
@@ -101,12 +102,21 @@ class ALMOptions(NamedTuple):
     # enable ~1e-3 for ill-posed instances where feasibility matters more
     # than last-digit stationarity.
     prox: float = 0.0
+    # Anneal the prox coefficient: once feasibility meets target, each
+    # outer update multiplies rho by prox_shrink (floor prox_min).  A fixed
+    # rho converges only linearly at rate h/(h+rho) along manifold
+    # directions with curvature h << rho; annealing can recover superlinear
+    # outer convergence (Rockafellar).  Default 1.0 = no annealing (measured
+    # neutral-to-worse on the tol NLPs; kept for experimentation).
+    prox_shrink: float = 1.0
+    prox_min: float = 0.0
     verbose: bool = False
 
 
 class ALMState(NamedTuple):
     v: jax.Array
     v_ref: jax.Array      # proximal center (last outer iterate)
+    rho: jax.Array        # current prox coefficient (annealed)
     yhat: jax.Array       # outer multiplier estimate
     zl: jax.Array
     zu: jax.Array
@@ -183,9 +193,9 @@ def solve(
         v = jnp.where(both, mid, v)
         return jnp.where(fixed, lb, v)
 
-    rho = jnp.asarray(opts.prox, dtype)
+    rho0 = jnp.asarray(opts.prox, dtype)
 
-    def al_value(v, v_ref, yhat, gamma, mu):
+    def al_value(v, v_ref, rho, yhat, gamma, mu):
         dl = jnp.where(has_lb, v - lb, 1.0)
         du = jnp.where(has_ub, ub - v, 1.0)
         ok = jnp.all(dl > 0) & jnp.all(du > 0)
@@ -197,17 +207,15 @@ def solve(
                        + jnp.sum(jnp.where(has_ub, jnp.log(du), 0.0))))
         return jnp.where(ok, val, jnp.inf)
 
-    def kkt_errors(v, y, zl, zu, mu):
-        """KKT error of the *original* NLP at multiplier estimate y."""
+    def _kkt_parts(v, y, zl, zu):
+        """Shared pieces of the KKT error (one gradient/constraint eval)."""
         dl = jnp.where(has_lb, v - lb, 1.0)
         du = jnp.where(has_ub, ub - v, 1.0)
         r_d = grad_lag(v, y) - jnp.where(has_lb, zl, 0.0) + jnp.where(has_ub, zu, 0.0)
         r_d = jnp.where(fixed, 0.0, r_d)
         theta = c_fn(v)
-        comp = jnp.concatenate([
-            jnp.where(has_lb, zl * dl - mu, 0.0),
-            jnp.where(has_ub, zu * du - mu, 0.0),
-        ])
+        comp_l = jnp.where(has_lb, zl * dl, 0.0)
+        comp_u = jnp.where(has_ub, zu * du, 0.0)
         nz = jnp.sum(has_lb) + jnp.sum(has_ub)
         s_d = jnp.maximum(
             opts.s_max,
@@ -216,10 +224,21 @@ def solve(
         s_c = jnp.maximum(
             opts.s_max,
             (jnp.sum(jnp.abs(zl)) + jnp.sum(jnp.abs(zu))) / jnp.maximum(1, nz)) / opts.s_max
+        return r_d, theta, comp_l, comp_u, s_d, s_c
+
+    def _errors_at(parts, mu):
+        r_d, theta, comp_l, comp_u, s_d, s_c = parts
+        comp = jnp.maximum(
+            _inf_norm(jnp.where(has_lb, comp_l - mu, 0.0)),
+            _inf_norm(jnp.where(has_ub, comp_u - mu, 0.0)))
         e_d = _inf_norm(r_d) / s_d
         e_p = _inf_norm(theta)
-        e_c = _inf_norm(comp) / s_c
+        e_c = comp / s_c
         return jnp.maximum(jnp.maximum(e_d, e_p), e_c), e_p, e_d, e_c
+
+    def kkt_errors(v, y, zl, zu, mu):
+        """KKT error of the *original* NLP at multiplier estimate y."""
+        return _errors_at(_kkt_parts(v, y, zl, zu), mu)
 
     def init_state():
         v = interior_push(v0)
@@ -232,7 +251,7 @@ def solve(
         cv = c_fn(v)
         err, *_ = kkt_errors(v, yhat, zl, zu, 0.0)
         return ALMState(
-            v=v, v_ref=v, yhat=yhat, zl=zl, zu=zu, mu=mu,
+            v=v, v_ref=v, rho=rho0, yhat=yhat, zl=zl, zu=zu, mu=mu,
             gamma=jnp.asarray(opts.gamma_init, dtype),
             delta_w=jnp.zeros((), dtype),
             theta_ref=_inf_norm(cv),
@@ -252,6 +271,7 @@ def solve(
         y_al = yhat + cv / gamma
 
         # grad of AL_mu (with primal-dual barrier handled via sigma/rhs).
+        rho = st.rho
         g_al = (grad_lag(v, y_al)
                 + rho * (v - st.v_ref)
                 - jnp.where(has_lb, mu / dl, 0.0)
@@ -284,11 +304,11 @@ def solve(
         )
 
         # Plain Armijo on the smooth AL merit, trials in parallel.
-        al0 = al_value(v, st.v_ref, yhat, gamma, mu)
+        al0 = al_value(v, st.v_ref, rho, yhat, gamma, mu)
         d_al = g_al @ dv
         alphas = a_max * (0.5 ** jnp.arange(opts.max_ls, dtype=dtype))
         al_vals = jax.vmap(
-            lambda a: al_value(v + a * dv, st.v_ref, yhat, gamma, mu))(alphas)
+            lambda a: al_value(v + a * dv, st.v_ref, rho, yhat, gamma, mu))(alphas)
         ok = al_vals <= al0 + opts.eta * alphas * d_al
         any_ok = jnp.any(ok)
         alpha = jnp.where(any_ok, alphas[jnp.argmax(ok)], 0.0)
@@ -339,7 +359,8 @@ def solve(
         # ---- inner convergence test at the new point ----
         c_n = c_fn(v_n)
         y_n = yhat + c_n / gamma
-        err_in, th_in, e_d_in, e_c_in = kkt_errors(v_n, y_n, zl_n, zu_n, mu)
+        parts_n = _kkt_parts(v_n, y_n, zl_n, zu_n)
+        err_in, th_in, e_d_in, e_c_in = _errors_at(parts_n, mu)
         inner_err = jnp.maximum(e_d_in, e_c_in)   # feasibility handled by outer
         inner_done = inner_err <= opts.kappa_inner * mu
         if opts.stagnation_outer:
@@ -389,8 +410,12 @@ def solve(
         yhat_n = jnp.where(inner_done, y_n, yhat)
         theta_ref_n = jnp.where(inner_done, theta_now, st.theta_ref)
         v_ref_n = jnp.where(inner_done, v_n, st.v_ref)
+        rho_n = jnp.where(
+            inner_done & ~need_feas,
+            jnp.maximum(jnp.asarray(opts.prox_min, dtype),
+                        rho * opts.prox_shrink), rho)
 
-        err0, viol, *_ = kkt_errors(v_n, y_n, zl_n, zu_n, 0.0)
+        err0, viol, *_ = _errors_at(parts_n, 0.0)
         conv = (err0 <= opts.tol) & (viol <= feas_target)
 
         if opts.verbose:
@@ -403,7 +428,8 @@ def solve(
                 cvt=curv_ok, od=inner_done, dal=d_al, d0=al_vals[0]-al0, ndv=_inf_norm(dv))
 
         new = ALMState(
-            v=v_n, v_ref=v_ref_n, yhat=yhat_n, zl=zl_n, zu=zu_n, mu=mu_n, gamma=gamma_n,
+            v=v_n, v_ref=v_ref_n, rho=rho_n, yhat=yhat_n, zl=zl_n, zu=zu_n,
+            mu=mu_n, gamma=gamma_n,
             delta_w=delta_next, theta_ref=theta_ref_n, it=st.it + 1,
             converged=conv, kkt_err=err0,
         )
