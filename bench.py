@@ -39,7 +39,8 @@ import numpy as np
 def main():
     ts = int(os.environ.get("BENCH_TS", "100"))
     batch = int(os.environ.get("BENCH_BATCH", "1024"))
-    max_iter = int(os.environ.get("BENCH_MAX_ITER", "300"))
+    max_iter = int(os.environ.get("BENCH_MAX_ITER", "200"))
+    refine = int(os.environ.get("BENCH_REFINE", "1"))
     # SNOPT-comparable working tolerances (the reference runs S10 at
     # opt_tol 1e-3 / feas_tol 1e-5, problems/S10/snopt.param:6-7); float32
     # feasibility is gated at 1e-4 in scaled units.
@@ -57,7 +58,8 @@ def main():
     nlp = make_problem("S10", aircraft="tempest", ts=ts, wind_model=1,
                        dtype=dtype)
     can = canonicalize(nlp, scaling="auto")
-    kkt = make_condensed_kkt(can)
+    chain = os.environ.get("BENCH_CHAIN", "cr")
+    kkt = make_condensed_kkt(can, refine=refine, chain=chain)
     prox = float(os.environ.get("BENCH_PROX", "3e-3"))
     opts = ALMOptions(tol=tol, feas_tol=feas, max_iter=max_iter,
                       gamma_init=0.01, mu_init=1e-5, mu_shrink=0.1,

@@ -84,3 +84,24 @@ def test_convexified_backend_descent_directions():
     # rhs_v = -g it must satisfy g @ dv < 0.  Emulate that contract.
     dv2, _ = struct(v, y, sigma, 0.0, dc, rhs_v, jnp.zeros(can.m))
     assert float(rhs_v @ dv2) > 0.0  # dv2 aligned with -g (rhs_v = -g)
+
+
+@pytest.mark.parametrize("mission,ts", [("S10", 8), ("G7", 8), ("S10", 16),
+                                        ("S10", 13)])
+def test_cyclic_reduction_matches_dense(mission, ts):
+    """chain="cr" (O(log T) cyclic reduction, ops/blocktri.py) solves the
+    identical saddle system, including non-power-of-two horizons (padded
+    with decoupled identity blocks)."""
+    nlp = make_problem(mission, aircraft="tempest", ts=ts, wind_model=1)
+    can = canonicalize(nlp)
+    dense = make_dense_kkt(can)
+    cr = make_condensed_kkt(can, chain="cr")
+    v, y, sigma, rhs_v, rhs_c = _state(can)
+    dw = 300.0
+    dc = jnp.full((can.m,), 0.05)
+    dv_d, dy_d = dense(v, y, sigma, dw, dc, rhs_v, rhs_c)
+    dv_s, dy_s = cr(v, y, sigma, dw, dc, rhs_v, rhs_c)
+    scale = max(1.0, float(jnp.max(jnp.abs(dv_d))))
+    np.testing.assert_allclose(np.asarray(dv_s), np.asarray(dv_d), atol=1e-9 * scale)
+    yscale = max(1.0, float(jnp.max(jnp.abs(dy_d))))
+    np.testing.assert_allclose(np.asarray(dy_s), np.asarray(dy_d), atol=1e-8 * yscale)

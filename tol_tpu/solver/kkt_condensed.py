@@ -41,13 +41,23 @@ import jax
 import jax.numpy as jnp
 
 from tol_tpu.models.dynamics import NUM_STATES, NUM_VARS
-from tol_tpu.ops.smallalg import chol_unrolled, spd_inverse, tri_solve_unrolled
+from tol_tpu.ops.blocktri import cr_factor, cr_solve
+from tol_tpu.ops.smallalg import (bmm, bmm_tn, bmv, bmv_t, chol_unrolled,
+                                  spd_inverse, tri_solve_unrolled)
 from tol_tpu.solver.canonical import CanonicalNLP
 
 NS, NV = NUM_STATES, NUM_VARS
 
 
-def make_condensed_kkt(can: CanonicalNLP, refine: int = 2):
+def make_condensed_kkt(can: CanonicalNLP, refine: int = 2,
+                       chain: str = "scan"):
+    """``chain="cr"`` solves the block-tridiagonal chain by cyclic
+    reduction (O(log T) depth, tol_tpu/ops/blocktri.py) instead of the
+    sequential scan — measured 2x faster end-to-end solver iterations on
+    TPU at T=100/batch 1024 (the scan pays ~100 sequential steps of small
+    fused kernels; CR's level ops batch over blocks).  Identical math,
+    ~2x the arithmetic; rhs-independent border columns are solved once so
+    ``refine`` passes are nearly free."""
     nlp = can.nlp
     T, nb, n_s = nlp.T, nlp.nb, can.n_slack
     nB = NV + 1 + n_s  # border: z0, dt, s
@@ -137,23 +147,23 @@ def make_condensed_kkt(can: CanonicalNLP, refine: int = 2):
             dyd = dy[:NS * T].reshape(T, NS)
             dyb = dy[NS * T:]
 
-            r1_z = jnp.einsum("nij,nj->ni", Q, dZ) + qdt * ddt
-            r1_z = r1_z.at[:-1].add(jnp.einsum("tsi,ts->ti", A, dyd))
+            r1_z = bmv(Q, dZ) + qdt * ddt
+            r1_z = r1_z.at[:-1].add(bmv_t(A, dyd))
             r1_z = r1_z.at[1:, :NS].add(dyd)
-            r1_z = r1_z.at[0].add(Hb00 @ dZ[0] + HbT0.T @ dZ[T]
-                                  + Hb0dt * ddt + G0.T @ dyb)
-            r1_z = r1_z.at[T].add(HbTT @ dZ[T] + HbT0 @ dZ[0]
-                                  + HbTdt * ddt + GT.T @ dyb)
+            r1_z = r1_z.at[0].add(bmv(Hb00, dZ[0]) + bmv_t(HbT0, dZ[T])
+                                  + Hb0dt * ddt + bmv_t(G0, dyb))
+            r1_z = r1_z.at[T].add(bmv(HbTT, dZ[T]) + bmv(HbT0, dZ[0])
+                                  + HbTdt * ddt + bmv_t(GT, dyb))
             r1_z = r1_z.at[0].multiply(m0)
             r1_dt = (jnp.sum(qdt * dZ) + sig_dt_tot * ddt
                      + Hb0dt @ dZ[0] + HbTdt @ dZ[T]
                      + jnp.sum(d * dyd) + Gdt @ dyb)
-            r1_s = (sig_s + delta_w) * ds + Gs.T @ dyb
-            r2_d = (jnp.einsum("tsi,ti->ts", A, dZ[:-1]) + dZ[1:, :NS]
+            r1_s = (sig_s + delta_w) * ds + bmv_t(Gs, dyb)
+            r2_d = (bmv(A, dZ[:-1]) + dZ[1:, :NS]
                     + d * ddt - Gd * dyd)
-            r2_b = G0 @ dZ[0] + GT @ dZ[T] + Gdt * ddt - Gb * dyb
+            r2_b = bmv(G0, dZ[0]) + bmv(GT, dZ[T]) + Gdt * ddt - Gb * dyb
             if n_s:
-                r2_b = r2_b + Gs @ ds
+                r2_b = r2_b + bmv(Gs, ds)
             r1 = jnp.concatenate([jnp.reshape(r1_dt, (1,)), r1_z.reshape(-1), r1_s])
             r2 = jnp.concatenate([r2_d.reshape(-1), r2_b])
             return r1, r2
@@ -161,8 +171,8 @@ def make_condensed_kkt(can: CanonicalNLP, refine: int = 2):
         # -------- condensed factorization (rhs-independent, done once) ----
 
         ADd = A * Dd[:, :, None]
-        AtDdA = jnp.einsum("tsi,tsj->tij", A, ADd)
-        AtDd_d = jnp.einsum("tsi,ts->ti", A, Dd * d)
+        AtDdA = bmm_tn(A, ADd)
+        AtDd_d = bmv_t(A, Dd * d)
         EtDd_d = jnp.concatenate([Dd * d, jnp.zeros((T, NV - NS), dtype=dtype)], axis=1)
         dtd = jnp.sum(Dd * d * d)
 
@@ -177,62 +187,71 @@ def make_condensed_kkt(can: CanonicalNLP, refine: int = 2):
             [r, jnp.zeros(NV - NS, dtype=dtype)])))(Dd)
         diagD = diagD.at[1:].add(pad_dd)
         M = Q + diagD
-        M = M.at[T].add(HbTT + GT.T @ GTDb)
+        M = M.at[T].add(HbTT + bmm_tn(GT, GTDb))
 
         qcol = qdt.at[:-1].add(AtDd_d).at[1:].add(EtDd_d)
-        qcol = qcol.at[T].add(HbTdt + GT.T @ GdtDb)
+        qcol = qcol.at[T].add(HbTdt + bmv_t(GT, GdtDb))
 
         O = jnp.concatenate(
             [jnp.swapaxes(ADd, 1, 2),
              jnp.zeros((T, NV, NV - NS), dtype=dtype)], axis=2)
 
         B0 = jnp.zeros((nB, nB), dtype=dtype)
-        Q0_eff = (M[0] + Hb00 + G0.T @ G0Db) * jnp.outer(m0, m0) + jnp.diag(1.0 - m0)
-        q0_eff = (qcol[0] + Hb0dt + G0.T @ GdtDb) * m0
+        Q0_eff = (M[0] + Hb00 + bmm_tn(G0, G0Db)) * jnp.outer(m0, m0) + jnp.diag(1.0 - m0)
+        q0_eff = (qcol[0] + Hb0dt + bmv_t(G0, GdtDb)) * m0
         B0 = B0.at[sl_z0, sl_z0].set(Q0_eff)
         B0 = B0.at[sl_z0, sl_dt].set(q0_eff)
         B0 = B0.at[sl_dt, sl_z0].set(q0_eff)
         B0 = B0.at[sl_dt, sl_dt].set(sig_dt_tot + dtd + GdtDb @ Gdt)
         if n_s:
-            B0 = B0.at[sl_s, sl_s].set(jnp.diag(sig_s + delta_w) + Gs.T @ GsDb)
-            z0s = (G0.T @ GsDb) * m0[:, None]
+            B0 = B0.at[sl_s, sl_s].set(jnp.diag(sig_s + delta_w) + bmm_tn(Gs, GsDb))
+            z0s = bmm_tn(G0, GsDb) * m0[:, None]
             B0 = B0.at[sl_z0, sl_s].set(z0s)
             B0 = B0.at[sl_s, sl_z0].set(z0s.T)
-            sdt_s = Gs.T @ GdtDb
+            sdt_s = bmv_t(Gs, GdtDb)
             B0 = B0.at[sl_s, sl_dt].set(sdt_s)
             B0 = B0.at[sl_dt, sl_s].set(sdt_s)
 
         Wc = jnp.zeros((T, NV, nB), dtype=dtype)
         Wc = Wc.at[:, :, sl_dt].set(qcol[1:])
         Wc = Wc.at[0, :, sl_z0].set(jnp.swapaxes(O[0] * m0[:, None], 0, 1))
-        cornerT = (HbT0 + GT.T @ G0Db) * m0[None, :]
+        cornerT = (HbT0 + bmm_tn(GT, G0Db)) * m0[None, :]
         Wc = Wc.at[T - 1, :, sl_z0].add(cornerT)
         if n_s:
-            Wc = Wc.at[T - 1, :, sl_s].add(GT.T @ GsDb)
+            Wc = Wc.at[T - 1, :, sl_s].add(bmm_tn(GT, GsDb))
 
         M_chain = M[1:]
         O_chain = jnp.concatenate([O[1:], jnp.zeros((1, NV, NV), dtype=dtype)])
 
-        def factor_step(carry, inp):
-            Dcorr, Wcorr, S_acc = carry
-            Mi, Wi, Oi = inp
-            Dt = Mi - Dcorr
-            Wt = Wi - Wcorr
-            # Explicit SPD inverse (unrolled Cholesky): every later
-            # application is a plain matmul, which batches on the MXU.
-            Dinv = spd_inverse(Dt)
-            tW = Dinv @ Wt                     # D~^-1 W~  (11, nB)
-            t2 = Dinv @ Oi                     # D~^-1 O_i (11, 11)
-            S_acc = S_acc - Wt.T @ tW
-            return (Oi.T @ t2, Oi.T @ tW, S_acc), (Dinv, t2, tW, Wt)
+        if chain == "cr":
+            fac = cr_factor(M_chain, O_chain)
+            # Border columns are rhs-independent: solve them once; the
+            # Schur complement is S = B0 - W^T Mtri^{-1} W.
+            YW = cr_solve(fac, Wc)                        # (T, NV, nB)
+            S_border = B0 - jnp.sum(bmm_tn(Wc, YW), axis=0)
+            L_border_cr = chol_unrolled(S_border)
 
-        S0 = jnp.zeros((nB, nB), dtype=dtype)
-        (_, _, S_acc), (Dinvs, t2s, tWs, Wts) = jax.lax.scan(
-            factor_step,
-            (jnp.zeros((NV, NV), dtype=dtype), jnp.zeros((NV, nB), dtype=dtype), S0),
-            (M_chain, Wc, O_chain))
-        S_border = B0 + S_acc
-        L_border = chol_unrolled(S_border)
+        else:
+            def factor_step(carry, inp):
+                Dcorr, Wcorr, S_acc = carry
+                Mi, Wi, Oi = inp
+                Dt = Mi - Dcorr
+                Wt = Wi - Wcorr
+                # Explicit SPD inverse (unrolled Cholesky): every later
+                # application is a plain matmul, which batches on the MXU.
+                Dinv = spd_inverse(Dt)
+                tW = bmm(Dinv, Wt)                 # D~^-1 W~  (11, nB)
+                t2 = bmm(Dinv, Oi)                 # D~^-1 O_i (11, 11)
+                S_acc = S_acc - bmm_tn(Wt, tW)
+                return (bmm_tn(Oi, t2), bmm_tn(Oi, tW), S_acc), (Dinv, t2, tW, Wt)
+
+            S0 = jnp.zeros((nB, nB), dtype=dtype)
+            (_, _, S_acc), (Dinvs, t2s, tWs, Wts) = jax.lax.scan(
+                factor_step,
+                (jnp.zeros((NV, NV), dtype=dtype), jnp.zeros((NV, nB), dtype=dtype), S0),
+                (M_chain, Wc, O_chain))
+            S_border = B0 + S_acc
+            L_border = chol_unrolled(S_border)
 
         # ---------------- solves reusing the stored factors ---------------
 
@@ -244,49 +263,58 @@ def make_condensed_kkt(can: CanonicalNLP, refine: int = 2):
             rc_b = rhs_c_[NS * T:]
 
             rz = r_z
-            rz = rz.at[:-1].add(jnp.einsum("tsi,ts->ti", A, Dd * rc_d))
+            rz = rz.at[:-1].add(bmv_t(A, Dd * rc_d))
             rz = rz.at[1:].add(jnp.concatenate(
                 [Dd * rc_d, jnp.zeros((T, NV - NS), dtype=dtype)], axis=1))
-            rz = rz.at[T].add(GT.T @ (Db * rc_b))
-            rz = rz.at[0].add(G0.T @ (Db * rc_b))
+            rz = rz.at[T].add(bmv_t(GT, Db * rc_b))
+            rz = rz.at[0].add(bmv_t(G0, Db * rc_b))
             rz = rz.at[0].multiply(m0)
             r_dt_c = r_dt + jnp.sum(Dd * d * rc_d) + GdtDb @ rc_b
-            r_s_c = r_s + Gs.T @ (Db * rc_b)
+            r_s_c = r_s + bmv_t(Gs, Db * rc_b)
             rB = jnp.concatenate([rz[0], jnp.reshape(r_dt_c, (1,)), r_s_c])
 
-            def fwd(carry, inp):
-                rcorr, rB_acc = carry
-                Dinv, tW, Wt, Oi, ri = inp
-                rt = ri - rcorr
-                tr = Dinv @ rt                  # D~^-1 r~
-                rB_acc = rB_acc - Wt.T @ tr
-                return (Oi.T @ tr, rB_acc), tr
+            if chain == "cr":
+                Yr = cr_solve(fac, rz[1:][..., None])[..., 0]   # Mtri^-1 r
+                rB_acc = rB - jnp.sum(bmv_t(Wc, Yr), axis=0)
+                yb_ = tri_solve_unrolled(L_border_cr, rB_acc[..., None],
+                                         lower=True)
+                d_beta = tri_solve_unrolled(L_border_cr, yb_, lower=True,
+                                            trans=True)[..., 0]
+                dZ_chain = Yr - bmv(YW, d_beta)
+            else:
+                def fwd(carry, inp):
+                    rcorr, rB_acc = carry
+                    Dinv, tW, Wt, Oi, ri = inp
+                    rt = ri - rcorr
+                    tr = bmv(Dinv, rt)              # D~^-1 r~
+                    rB_acc = rB_acc - bmv_t(Wt, tr)
+                    return (bmv_t(Oi, tr), rB_acc), tr
 
-            (_, rB_acc), trs = jax.lax.scan(
-                fwd, (jnp.zeros(NV, dtype=dtype), rB),
-                (Dinvs, tWs, Wts, O_chain, rz[1:]))
+                (_, rB_acc), trs = jax.lax.scan(
+                    fwd, (jnp.zeros(NV, dtype=dtype), rB),
+                    (Dinvs, tWs, Wts, O_chain, rz[1:]))
 
-            yb_ = tri_solve_unrolled(L_border, rB_acc[..., None], lower=True)
-            d_beta = tri_solve_unrolled(L_border, yb_, lower=True, trans=True)[..., 0]
+                yb_ = tri_solve_unrolled(L_border, rB_acc[..., None], lower=True)
+                d_beta = tri_solve_unrolled(L_border, yb_, lower=True, trans=True)[..., 0]
 
-            def bwd(dv_next, inp):
-                tr, tW, t2 = inp
-                dv_i = tr - tW @ d_beta - t2 @ dv_next
-                return dv_i, dv_i
+                def bwd(dv_next, inp):
+                    tr, tW, t2 = inp
+                    dv_i = tr - bmv(tW, d_beta) - bmv(t2, dv_next)
+                    return dv_i, dv_i
 
-            _, dZ_chain = jax.lax.scan(bwd, jnp.zeros(NV, dtype=dtype),
-                                       (trs, tWs, t2s), reverse=True)
+                _, dZ_chain = jax.lax.scan(bwd, jnp.zeros(NV, dtype=dtype),
+                                           (trs, tWs, t2s), reverse=True)
 
             dz0 = d_beta[sl_z0] * m0
             ddt = d_beta[sl_dt]
             ds = d_beta[sl_s]
             dZ = jnp.concatenate([dz0[None, :], dZ_chain])
             dv_out = jnp.concatenate([jnp.reshape(ddt, (1,)), dZ.reshape(-1), ds])
-            Jd = (jnp.einsum("tsi,ti->ts", A, dZ[:-1]) + dZ[1:, :NS] + d * ddt)
+            Jd = (bmv(A, dZ[:-1]) + dZ[1:, :NS] + d * ddt)
             dy_d = Dd * (Jd - rc_d)
-            Jb = G0 @ dz0 + GT @ dZ[T] + Gdt * ddt
+            Jb = bmv(G0, dz0) + bmv(GT, dZ[T]) + Gdt * ddt
             if n_s:
-                Jb = Jb + Gs @ ds
+                Jb = Jb + bmv(Gs, ds)
             dy_b = Db * (Jb - rc_b)
             dy_out = jnp.concatenate([dy_d.reshape(-1), dy_b])
             return dv_out, dy_out
