@@ -231,6 +231,9 @@ def make_condensed_kkt(can: CanonicalNLP, refine: int = 2,
             S_border = B0 - jnp.sum(bmm_tn(Wc, YW), axis=0)
             L_border_cr = chol_unrolled(S_border)
 
+        elif chain == "pallas":
+            pass  # rhs-coupled elimination happens inside solve_once
+
         else:
             def factor_step(carry, inp):
                 Dcorr, Wcorr, S_acc = carry
@@ -273,7 +276,20 @@ def make_condensed_kkt(can: CanonicalNLP, refine: int = 2,
             r_s_c = r_s + bmv_t(Gs, Db * rc_b)
             rB = jnp.concatenate([rz[0], jnp.reshape(r_dt_c, (1,)), r_s_c])
 
-            if chain == "cr":
+            if chain == "pallas":
+                from tol_tpu.ops.chainkern import (chain_back_sub,
+                                                   chain_eliminate)
+                R = jnp.concatenate([Wc, rz[1:][:, :, None]], axis=2)
+                _, t2p, tRp, S = chain_eliminate(M_chain, O_chain, R)
+                Sb = B0 - S[:nB, :nB]
+                rB_acc = rB - S[:nB, nB]
+                Lb = chol_unrolled(Sb)
+                yb_ = tri_solve_unrolled(Lb, rB_acc[..., None], lower=True)
+                d_beta = tri_solve_unrolled(Lb, yb_, lower=True,
+                                            trans=True)[..., 0]
+                coef = jnp.concatenate([-d_beta, jnp.ones((1,), dtype)])
+                dZ_chain = chain_back_sub(tRp, t2p, coef)
+            elif chain == "cr":
                 Yr = cr_solve(fac, rz[1:][..., None])[..., 0]   # Mtri^-1 r
                 rB_acc = rB - jnp.sum(bmv_t(Wc, Yr), axis=0)
                 yb_ = tri_solve_unrolled(L_border_cr, rB_acc[..., None],
