@@ -174,15 +174,12 @@ def solve(
     grad_lag = jax.grad(lambda v, y: f_fn(v) + c_fn(v) @ y, argnums=0)
 
     if opts.row_equilibrate:
-        J0 = jax.jacfwd(c_fn)(interior_push_v0 := v0)  # one-time, at the seed
+        J0 = jax.jacfwd(c_fn)(v0)  # one-time, at the seed
         row_n = jnp.maximum(jnp.max(jnp.abs(J0), axis=1), 1e-6)
         row_s = row_n / jnp.exp(jnp.mean(jnp.log(row_n)))  # geometric-mean 1
         row_s2 = row_s * row_s
     else:
         row_s2 = jnp.ones(can.m, dtype)
-
-    def lag_hvp(v, y, dv):
-        return jax.jvp(lambda v_: grad_lag(v_, y), (v,), (dv,))[1]
 
     def interior_push(v):
         pl = jnp.where(has_lb, lb + opts.bound_push * jnp.maximum(1.0, jnp.abs(lb)), -jnp.inf)
