@@ -39,7 +39,7 @@ import numpy as np
 def main():
     ts = int(os.environ.get("BENCH_TS", "100"))
     batch = int(os.environ.get("BENCH_BATCH", "1024"))
-    max_iter = int(os.environ.get("BENCH_MAX_ITER", "200"))
+    max_iter = int(os.environ.get("BENCH_MAX_ITER", "64"))
     refine = int(os.environ.get("BENCH_REFINE", "1"))
     # SNOPT-comparable working tolerances (the reference runs S10 at
     # opt_tol 1e-3 / feas_tol 1e-5, problems/S10/snopt.param:6-7); float32
@@ -63,7 +63,8 @@ def main():
     prox = float(os.environ.get("BENCH_PROX", "3e-3"))
     opts = ALMOptions(tol=tol, feas_tol=feas, max_iter=max_iter,
                       gamma_init=0.01, mu_init=1e-5, mu_shrink=0.1,
-                      prox=prox)
+                      prox=prox, gamma_shrink=0.2, gamma_eager=True,
+                      dual_refine_k=int(os.environ.get("BENCH_DUALK", "4")))
 
     # Batch over perturbed initial conditions (Monte-Carlo style): same
     # mission family, different seeds.

@@ -27,6 +27,10 @@ kkt = make_condensed_kkt(can, refine=int(os.environ.get("REFINE", "1")),
 opts = ALMOptions(tol=float(os.environ.get("TOL", "5e-3")), feas_tol=1e-4,
                   max_iter=max_iter, gamma_init=0.01, mu_init=1e-5,
                   mu_shrink=0.1, prox=float(os.environ.get("PROX", "3e-3")),
+                  dual_refine_k=int(os.environ.get("DUALK", "0")),
+                  dual_reset=bool(int(os.environ.get("DUALRESET", "0"))),
+                  gamma_eager=bool(int(os.environ.get("GAMEAGER", "0"))),
+                  gamma_shrink=float(os.environ.get("GAMSHRINK", "0.5")),
                   trace=True)
 
 v0 = can.initial_point()
@@ -48,6 +52,11 @@ med = int(np.argsort(final_kkt)[batch // 2])
 print("final kkt:", final_kkt)
 print("converged:", np.asarray(out.converged))
 print("iters:", np.asarray(out.iterations))
+# first iteration at which the convergence gate holds per instance
+tol_ = opts.tol
+ok = (kkt_tr <= tol_) & (viol_tr <= 1e-4)
+first = np.where(ok.any(axis=1), ok.argmax(axis=1), -1)
+print("first-converged iter per instance:", first)
 print(f"-- median instance {med} trajectory (every 5 iters) --")
 for i in range(0, max_iter, 5):
     print(f"it {i:3d} kkt={kkt_tr[med, i]:.3e} viol={viol_tr[med, i]:.3e} "

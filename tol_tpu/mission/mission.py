@@ -42,15 +42,24 @@ class MissionConfig:
     completion_fraction: float = 0.95
     max_legs: int = 20
     warm_start: bool = True
+    leg_tol: float = 5e-3        # working KKT tolerance per leg solve
+    leg_feas_tol: float = 1e-4   # scaled feasibility per leg solve
+    leg_max_iter: int = 400
 
 
 def default_leg_solver(cfg: MissionConfig) -> Callable:
     """Build the in-process leg solver: mission type + NED goal -> results doc.
 
-    Replaces ``execute_SNOPT`` (src/tol.cpp:58-76).  Problems are built once
-    per mission type and jitted; successive legs re-solve with new instance
-    parameters.
+    Replaces ``execute_SNOPT`` (src/tol.cpp:58-76).  Problems are built and
+    jitted once per mission type; successive legs re-solve with new instance
+    parameters (goal, stitch bounds) through the same compiled executable.
+
+    Warm start: when ``cfg.warm_start`` and a previous leg of the same
+    mission type exists, the new solve starts from its primal/dual solution
+    (the reference always cold-starts SNOPT, src/problem.cpp:1238-1239 —
+    warm-started replanning is this framework's fix, BASELINE config 4).
     """
+    import jax
     import jax.numpy as jnp
 
     from tol_tpu.api import make_config, make_problem
@@ -60,29 +69,68 @@ def default_leg_solver(cfg: MissionConfig) -> Callable:
     from tol_tpu.problems.base import make_instance
     from tol_tpu.solver import canonicalize
     from tol_tpu.solver.alm import ALMOptions, solve as alm_solve
-    from tol_tpu.solver.kkt_structured import make_structured_kkt
+    from tol_tpu.solver.kkt_condensed import make_condensed_kkt
 
-    cache = {}
+    cache: dict = {}
+    warm: dict = {}   # mission_type -> (v, y) from the last converged leg
 
-    def solve_leg(mission_type: str, goal_ned: Goal, v0=None):
+    def solve_leg(mission_type: str, goal_ned: Goal, stitch=None, v0=None):
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         if mission_type not in cache:
             nlp = make_problem(mission_type, aircraft=cfg.aircraft,
-                               ts=cfg.ts, wind_model=cfg.wind_model)
-            can = canonicalize(nlp)
-            kkt = make_structured_kkt(can)
+                               ts=cfg.ts, wind_model=cfg.wind_model,
+                               dtype=dtype)
+            can = canonicalize(nlp, scaling="auto")
+            kkt = make_condensed_kkt(can, refine=1, chain="cr")
             pcfg = make_config(mission_type, cfg.aircraft, ts=cfg.ts,
                                wind_model=cfg.wind_model)
-            cache[mission_type] = (nlp, can, kkt, pcfg)
-        nlp, can, kkt, pcfg = cache[mission_type]
-        inst = make_instance(pcfg, goal_ned, WindConfig(model=cfg.wind_model))
-        res = alm_solve(can, kkt,
-                        ALMOptions(tol=1e-6, feas_tol=1e-5, max_iter=800),
-                        inst=inst, v0=v0)
-        Z, dt, _ = can.split(res.v)
-        doc = results_document(pcfg, goal_ned, Z, dt, res.f,
+            opts = ALMOptions(tol=cfg.leg_tol, feas_tol=cfg.leg_feas_tol,
+                              max_iter=cfg.leg_max_iter, gamma_init=0.01,
+                              mu_init=1e-5, mu_shrink=0.1, prox=3e-3,
+                              dual_refine_k=8)
+
+            @jax.jit
+            def run(inst, v0, y0):
+                return alm_solve(can, kkt, opts, inst=inst, v0=v0, y0=y0)
+
+            cache[mission_type] = (nlp, can, run, pcfg)
+        nlp, can, run, pcfg = cache[mission_type]
+        inst = make_instance(pcfg, goal_ned, WindConfig(model=cfg.wind_model),
+                             dtype=dtype, stitch=stitch)
+        y0 = jnp.zeros(can.m, dtype)
+        used_warm = False
+        if v0 is None:
+            # Warm-start only when the new leg resembles the warm state's
+            # leg (a replan): a previous optimum pointed down a different
+            # course is a worse start than the analytic seed.
+            if cfg.warm_start and mission_type in warm:
+                v_w, y_w, goal_w = warm[mission_type]
+                d_chi = abs(math.atan2(float(goal_ned.yg), float(goal_ned.xg))
+                            - math.atan2(float(goal_w.yg), float(goal_w.xg)))
+                d_chi = min(d_chi, 2.0 * math.pi - d_chi)
+                if d_chi < math.pi / 6.0:
+                    v0, y0 = v_w, y_w
+                    used_warm = True
+            if v0 is None:
+                v0 = can.initial_point(inst)
+        t0 = time.time()
+        res = run(inst, v0, y0)
+        jax.block_until_ready(res.v)
+        if used_warm and not bool(res.converged):
+            # Cold retry: a stale warm start must never lose a leg.
+            res = run(inst, can.initial_point(inst), jnp.zeros(can.m, dtype))
+            jax.block_until_ready(res.v)
+        solve_s = time.time() - t0
+        Z, dt, _ = can.split(can.to_physical(res.v))
+        f_phys = float(res.f) / float(can.scaling.s_f)
+        doc = results_document(pcfg, goal_ned, Z, dt, f_phys,
                                aircraft_name=cfg.aircraft)
         doc["converged"] = bool(res.converged)
         doc["kkt_err"] = float(res.kkt_err)
+        doc["iterations"] = int(res.iterations)
+        doc["solve_s"] = solve_s
+        if bool(res.converged):
+            warm[mission_type] = (res.v, res.y, goal_ned)
         return doc
 
     return solve_leg
@@ -116,7 +164,7 @@ class Mission:
     def run(self, goal_enu):
         """goal_enu = (east, north, up, radius) relative to the datum
         (msl/msl.py:103-109 'Otte' goals)."""
-        from tol_tpu.config import Goal
+        from tol_tpu.config import Goal, StitchState
 
         g_e, g_n, g_u, g_r = goal_enu
         if len(self.trajectory):
@@ -147,7 +195,16 @@ class Mission:
                 goal = Goal(xg=-r, yg=0.0, zg=0.0, rg=r)
                 incomplete = False
 
-            doc = self.solve_leg(mission_type, goal)
+            # Stitch: carry the previous leg's terminal state into the next
+            # leg's node-0 slack bounds (src/problem.cpp:33-60, triggered by
+            # a nonzero initial airspeed, src/arguments.cpp:19-21).
+            stitch = None
+            if self.cfg.warm_start and len(self.trajectory):
+                s = self.trajectory.end_state()
+                stitch = StitchState(
+                    Va=s["Va"], gam=s["gam"], chi=s["chi"], phi=s["phi"],
+                    CL=s["CL"], dphi=s["dphi"], dCL=s["dCL"], T=s["T"])
+            doc = self.solve_leg(mission_type, goal, stitch=stitch)
             self.legs.append(doc)
             t0 = self.trajectory.t[-1] if len(self.trajectory) else 0.0
             self.trajectory.append_leg(doc, t0, (e, n, u))

@@ -38,6 +38,7 @@ from tol_tpu.config import (
     Limits,
     MissionBoxes,
     ProblemConfig,
+    StitchState,
 )
 from tol_tpu.models.dynamics import (
     NUM_STATES,
@@ -109,6 +110,52 @@ def node_bounds(
                     jnp.asarray(ac.Tmax, dtype)])
     z_lo = jnp.concatenate([lo0[None, :], jnp.tile(lo[None, :], (ts, 1))])
     z_up = jnp.concatenate([up0[None, :], jnp.tile(up[None, :], (ts, 1))])
+    return z_lo, z_up
+
+
+# Stitching slacks around the previous leg's terminal state
+# (src/problem.cpp:33-49): Va +-2 m/s, gamma +-10 deg, phi +-10 deg,
+# CL +-0.2, T +-5 N.  The reference also pins chi / dphi / dCL exactly
+# (src/problem.cpp:50-59) — but a pinned heading makes any leg whose course
+# differs from the previous terminal heading (e.g. a turn-around) INFEASIBLE
+# against G7's displacement rows; plausibly why the consumer of those
+# bounds is commented out in the reference (src/problem.cpp:238-252).  Here
+# the heading gets +-pi and the rate controls stay at their airframe boxes:
+# the stitch constrains the energy states, which is what physical
+# continuity needs.
+_STITCH_SLACK = np.array([
+    2.0,                     # Va
+    np.deg2rad(10.0),        # gamma
+    np.pi,                   # chi
+    np.deg2rad(10.0),        # phi
+    0.2,                     # CL
+    1e3,                     # dphi (airframe box)
+    1e3,                     # dCL (airframe box)
+    5.0,                     # T
+])
+
+
+def apply_stitch(z_lo: jax.Array, z_up: jax.Array,
+                 stitch: StitchState) -> Tuple[jax.Array, jax.Array]:
+    """Tighten node-0 bounds around the previous leg's terminal state.
+
+    The reference computes these slack boxes in the ``problem`` ctor
+    whenever the python entry passes a nonzero initial airspeed
+    (src/arguments.cpp:19-21 -> src/problem.cpp:33-60); position stays
+    pinned to the leg origin.  The reference never actually applies them
+    (the ``if (ii == 0)`` consumer is commented out, src/problem.cpp:238-252)
+    — a bug this framework fixes: they REPLACE the node-0 state bounds,
+    clipped into the airframe/limit boxes (the node>=1 rows) so a stitch
+    state at an airframe limit cannot produce an empty box.
+    """
+    dtype = z_lo.dtype
+    s = jnp.asarray(
+        jnp.stack([jnp.asarray(v, dtype) for v in stitch]), dtype)
+    slack = jnp.asarray(_STITCH_SLACK, dtype)
+    lo = jnp.clip(s - slack, z_lo[1, 3:], z_up[1, 3:])
+    up = jnp.clip(s + slack, z_lo[1, 3:], z_up[1, 3:])
+    z_lo = z_lo.at[0, 3:].set(lo)
+    z_up = z_up.at[0, 3:].set(up)
     return z_lo, z_up
 
 
@@ -194,9 +241,12 @@ def make_instance(
     wind: WindConfig,
     start_ned=(0.0, 0.0, 0.0),
     dtype=jnp.float64,
+    stitch: StitchState | None = None,
 ) -> Instance:
     z_lo, z_up = node_bounds(cfg.boxes, cfg.aircraft, cfg.limits, cfg.dims.ts,
                              start_ned, dtype)
+    if stitch is not None:
+        z_lo, z_up = apply_stitch(z_lo, z_up, stitch)
     to = lambda x: jnp.asarray(x, dtype=dtype)
     return Instance(
         aircraft=AircraftParams(*[to(x) for x in cfg.aircraft]),

@@ -17,7 +17,8 @@ import numpy as np
 
 from tol_tpu.config import ProblemConfig
 from tol_tpu.models.dynamics import IDX_CHI, IDX_T, NUM_VARS
-from tol_tpu.problems.seed import invert_flight_mechanics, s10_seed_path
+from tol_tpu.problems.seed import (invert_flight_mechanics, s10_seed_path,
+                                   s10_zoom_seed_path)
 
 
 def make(cfg: ProblemConfig, dtype):
@@ -41,6 +42,10 @@ def make(cfg: ProblemConfig, dtype):
     is_ineq = np.zeros(NUM_VARS, dtype=bool)  # 11 equality rows
 
     def seed(inst):
+        # Level coordinated-turn circle (reference parity; see
+        # s10_zoom_seed_path for the energy-exchange alternative — measured
+        # to start less feasible and converge to the same basin, so the
+        # level seed stays the default).
         path = s10_seed_path(ts, dtype=dtype, aircraft=inst.aircraft)
         return invert_flight_mechanics(path, inst.aircraft, periodic_rates=True)
 

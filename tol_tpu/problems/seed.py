@@ -131,6 +131,77 @@ def g7_seed_path(ts: int, chi_d: jax.Array, vamin=None, vamax=None,
                     chi_offset=jnp.asarray(chi_d, dtype=dtype))
 
 
+def s10_zoom_seed_path(ts: int, aircraft: AircraftParams,
+                       dtype=jnp.float64, phase: float = 0.5 * jnp.pi,
+                       radius: float = 100.0) -> SeedPath:
+    """Energy-exchange ("zoom") loiter seed.
+
+    A level coordinated turn caps the loop speed at
+    ``V_c = sqrt(g tan(phimax) R)`` — e.g. 17.9 m/s for Tempest on the
+    100 m ring, far below its 30 m/s Vamax.  Because the S10 cost charges
+    nothing for thrust (gains kT=0, problems/S10/gains.param) and pays
+    ``kdt*dt`` for the period, the optimal loiter is a *zoom* loop: climb
+    and slow where the bank limit binds, dive back through the start
+    altitude fast (verified: the f64 oracle rides 50 m of altitude with
+    Va swinging 12<->26 m/s, 1.75% faster than the best level loop).  The
+    level-circle seed therefore starts a ~700-Newton-iteration valley walk
+    away from the optimum — below float32 per-step progress resolution.
+    This seed starts in the zoom basin using only airframe data:
+
+        V(theta) = V_c + (0.9 Vamax - V_c)(1 + cos theta)/2
+        z(theta) = -(Vmax^2 - V^2) / (2g)          (kinetic <-> potential)
+
+    with theta the ring angle, theta=0 the (fast, z=0) start node, and
+    time recovered from ds = R dtheta: t(theta) = int R / V_h.  Falls back
+    to the level circle when the bank limit doesn't bind (V_c >= 0.9 Vamax).
+    """
+    R = jnp.asarray(radius, dtype)
+    g = jnp.asarray(GRAVITY, dtype)
+    v_c = jnp.sqrt(g * jnp.tan(0.9 * aircraft.phimax) * R)
+    v_c = jnp.clip(v_c, 1.1 * aircraft.Vamin, 0.9 * aircraft.Vamax)
+    v_max = jnp.asarray(0.9 * aircraft.Vamax, dtype)
+    dv = jnp.maximum(v_max - v_c, 0.0)
+
+    def V(th):
+        return v_c + dv * (1.0 + jnp.cos(th)) / 2.0
+
+    def z(th):
+        return -(v_max ** 2 - V(th) ** 2) / (2.0 * g)
+
+    def thetadot(th):
+        # one fixed-point pass on V_h = sqrt(V^2 - zdot^2)
+        dzdth = jax.grad(z)(th)
+        zdot0 = dzdth * V(th) / R
+        v_h = jnp.sqrt(jnp.maximum(V(th) ** 2 - zdot0 ** 2,
+                                   (0.5 * V(th)) ** 2))
+        return v_h / R
+
+    def pos(th):
+        return jnp.stack([R * jnp.sin(th + phase) - R * jnp.sin(phase),
+                          -R * jnp.cos(th + phase) + R * jnp.cos(phase),
+                          z(th)])
+
+    # time-of-flight along the ring on a fine grid, then uniform-time nodes
+    fine = 32 * ts
+    th_f = jnp.linspace(0.0, 2.0 * jnp.pi, fine + 1, dtype=dtype)
+    inv_rate = 1.0 / jax.vmap(thetadot)(th_f)
+    seg = 0.5 * (inv_rate[1:] + inv_rate[:-1]) * (th_f[1] - th_f[0])
+    t_f = jnp.concatenate([jnp.zeros(1, dtype), jnp.cumsum(seg)])
+    T_total = t_f[-1]
+    dt = T_total / ts
+    t_nodes = jnp.arange(ts + 1, dtype=dtype) * dt
+    th_nodes = jnp.interp(t_nodes, t_f, th_f)
+
+    dpos = jax.vmap(jax.jacfwd(pos))(th_nodes)          # (N, 3)
+    d2pos = jax.vmap(jax.jacfwd(jax.jacfwd(pos)))(th_nodes)
+    thd = jax.vmap(thetadot)(th_nodes)
+    dthd = jax.vmap(jax.grad(thetadot))(th_nodes)
+    vel = dpos * thd[:, None]
+    acc = (d2pos * thd[:, None] + dpos * dthd[:, None]) * thd[:, None]
+    return SeedPath(pos=jax.vmap(pos)(th_nodes), vel=vel, acc=acc, dt=dt,
+                    chi_offset=jnp.zeros((), dtype=dtype))
+
+
 def s10_seed_path(ts: int, dtype=jnp.float64, phase: float = 0.5 * jnp.pi,
                   aircraft=None, radius: float = 100.0) -> SeedPath:
     """Circular loiter seed (src/problemS10.cpp:38-91).

@@ -110,6 +110,27 @@ class ALMOptions(NamedTuple):
     # neutral-to-worse on the tol NLPs; kept for experimentation).
     prox_shrink: float = 1.0
     prox_min: float = 0.0
+    # Least-squares dual refinement (k CG steps on the Gauss-Newton normal
+    # equations of  min_y || W (grad f - z + J^T y) ||, matrix-free via
+    # jax.linearize).  The tol NLPs are degenerate: the constraint Jacobian
+    # loses rank at the optimum, so the classical first-order multiplier
+    # update yhat <- yhat + c/gamma converges at rate ~gamma/(gamma+sigma)
+    # -> 1 along the near-null rows and the *reported* dual residual stalls
+    # ~1e-2 even when the primal iterate is optimal (measured: the LSQ
+    # multiplier at the stalled iterate certifies KKT 5e-4).  A KKT
+    # certificate only needs *some* multiplier; this computes a near-best
+    # one.  The refined y gates convergence and (dual_reset) re-seeds the
+    # outer multiplier, turning the first-order update into a Newton-like
+    # one.  W^2 = 1/(1+sigma) downweights rows dominated by active bounds
+    # (their residual is absorbed by the bound duals).
+    dual_refine_k: int = 0
+    dual_reset: bool = False
+    # Eager penalty: shrink gamma at *every* outer update while
+    # feasibility misses target (not only on stalls).  Faster feasibility
+    # contraction (~gamma_shrink per outer instead of the multiplier
+    # update's ~0.5) at the cost of a stiffer condensed system; safe with
+    # saddle refinement + float32 down to gamma ~1e-4 in scaled units.
+    gamma_eager: bool = False
     verbose: bool = False
 
 
@@ -118,6 +139,7 @@ class ALMState(NamedTuple):
     v_ref: jax.Array      # proximal center (last outer iterate)
     rho: jax.Array        # current prox coefficient (annealed)
     yhat: jax.Array       # outer multiplier estimate
+    y_ls: jax.Array       # least-squares refined multiplier (dual_refine_k)
     zl: jax.Array
     zu: jax.Array
     mu: jax.Array
@@ -144,6 +166,25 @@ class ALMResult(NamedTuple):
 
 def _inf_norm(x):
     return jnp.max(jnp.abs(x)) if x.size else jnp.zeros(())
+
+
+def _cg(Aop, b, x0, k):
+    """k fixed CG steps on the (consistent, PSD) system A x = b."""
+    x = x0
+    r = b - Aop(x)
+    p = r
+    rs = r @ r
+    for _ in range(k):
+        Ap = Aop(p)
+        denom = p @ Ap
+        alpha = jnp.where(denom > 0, rs / jnp.maximum(denom, 1e-30), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = r @ r
+        beta = rs_new / jnp.maximum(rs, 1e-30)
+        p = r + beta * p
+        rs = rs_new
+    return jnp.where(jnp.all(jnp.isfinite(x)), x, x0)
 
 
 def solve(
@@ -248,7 +289,7 @@ def solve(
         cv = c_fn(v)
         err, *_ = kkt_errors(v, yhat, zl, zu, 0.0)
         return ALMState(
-            v=v, v_ref=v, rho=rho0, yhat=yhat, zl=zl, zu=zu, mu=mu,
+            v=v, v_ref=v, rho=rho0, yhat=yhat, y_ls=yhat, zl=zl, zu=zu, mu=mu,
             gamma=jnp.asarray(opts.gamma_init, dtype),
             delta_w=jnp.zeros((), dtype),
             theta_ref=_inf_norm(cv),
@@ -358,6 +399,56 @@ def solve(
         y_n = yhat + c_n / gamma
         parts_n = _kkt_parts(v_n, y_n, zl_n, zu_n)
         err_in, th_in, e_d_in, e_c_in = _errors_at(parts_n, mu)
+
+        # ---- least-squares dual refinement (see ALMOptions) ----
+        if opts.dual_refine_k > 0:
+            _, jvp_c = jax.linearize(c_fn, v_n)
+            _, vjp_c = jax.vjp(c_fn, v_n)
+            g0 = (grad_f(v_n) - jnp.where(has_lb, zl_n, 0.0)
+                  + jnp.where(has_ub, zu_n, 0.0))
+            sig_n = (jnp.where(has_lb, zl_n / dl_n, 0.0)
+                     + jnp.where(has_ub, zu_n / du_n, 0.0))
+            w2 = jnp.where(fixed, 0.0, 1.0 / (1.0 + sig_n))
+            Nop = lambda yy: jvp_c(w2 * vjp_c(yy)[0])
+            # Warm start from y_n: the AL multiplier view carries the
+            # null(J^T)-component CG cannot build from scratch (CG only
+            # moves in range space; starting from zero the ill-conditioned
+            # directions take hundreds of steps).
+            y_ls = _cg(Nop, -jvp_c(w2 * g0), y_n, opts.dual_refine_k)
+            r_ls = jnp.where(fixed, 0.0, g0 + vjp_c(y_ls)[0])
+            # Absorb the leftover into the bound duals where a bound is
+            # (near-)active, capped so the scaled complementarity stays
+            # below tol: any (y, z >= 0) is a valid KKT certificate.
+            cap = jnp.asarray(0.5 * opts.tol, dtype)
+            d_l = jnp.where(
+                has_lb,
+                jnp.clip(r_ls, -zl_n, jnp.maximum(cap / dl_n - zl_n, 0.0)),
+                0.0)
+            left = r_ls - d_l
+            d_u = jnp.where(
+                has_ub,
+                jnp.clip(-left, -zu_n, jnp.maximum(cap / du_n - zu_n, 0.0)),
+                0.0)
+            r_ls = r_ls - d_l + d_u
+            zl_ls = zl_n + d_l
+            zu_ls = zu_n + d_u
+            comp_l_ls = jnp.where(has_lb, zl_ls * dl_n, 0.0)
+            comp_u_ls = jnp.where(has_ub, zu_ls * du_n, 0.0)
+            _, theta_n_, _, _, _, _ = parts_n
+            nz = jnp.sum(has_lb) + jnp.sum(has_ub)
+            s_d_ls = jnp.maximum(
+                opts.s_max,
+                (jnp.sum(jnp.abs(y_ls)) + jnp.sum(jnp.abs(zl_ls))
+                 + jnp.sum(jnp.abs(zu_ls)))
+                / jnp.maximum(1, can.m + nz)) / opts.s_max
+            s_c_ls = jnp.maximum(
+                opts.s_max,
+                (jnp.sum(jnp.abs(zl_ls)) + jnp.sum(jnp.abs(zu_ls)))
+                / jnp.maximum(1, nz)) / opts.s_max
+            parts_ls = (r_ls, theta_n_, comp_l_ls, comp_u_ls, s_d_ls, s_c_ls)
+        else:
+            y_ls = st.y_ls
+            parts_ls = None
         inner_err = jnp.maximum(e_d_in, e_c_in)   # feasibility handled by outer
         inner_done = inner_err <= opts.kappa_inner * mu
         if opts.stagnation_outer:
@@ -389,7 +480,7 @@ def solve(
         # condensed system turns ~1/gamma stiff (in float32 the objective
         # curvature is erased entirely, stalling tangential optimization),
         # and c/gamma amplifies feasibility noise into the duals.
-        stalled = theta_now > 0.9 * st.theta_ref
+        stalled = (theta_now > 0.9 * st.theta_ref) | opts.gamma_eager
         need_feas = theta_now > feas_target
         gamma_n = jnp.where(
             inner_done & stalled & need_feas,
@@ -404,7 +495,8 @@ def solve(
             inner_done,
             jnp.maximum(mu_min, jnp.minimum(opts.mu_shrink * mu, mu ** opts.theta_mu)),
             mu)
-        yhat_n = jnp.where(inner_done, y_n, yhat)
+        y_outer = y_ls if (opts.dual_refine_k > 0 and opts.dual_reset) else y_n
+        yhat_n = jnp.where(inner_done, y_outer, yhat)
         theta_ref_n = jnp.where(inner_done, theta_now, st.theta_ref)
         v_ref_n = jnp.where(inner_done, v_n, st.v_ref)
         rho_n = jnp.where(
@@ -413,6 +505,9 @@ def solve(
                         rho * opts.prox_shrink), rho)
 
         err0, viol, *_ = _errors_at(parts_n, 0.0)
+        if parts_ls is not None:
+            err0_ls, _, _, _ = _errors_at(parts_ls, 0.0)
+            err0 = jnp.minimum(err0, err0_ls)
         conv = (err0 <= opts.tol) & (viol <= feas_target)
 
         if opts.verbose:
@@ -425,8 +520,8 @@ def solve(
                 cvt=curv_ok, od=inner_done, dal=d_al, d0=al_vals[0]-al0, ndv=_inf_norm(dv))
 
         new = ALMState(
-            v=v_n, v_ref=v_ref_n, rho=rho_n, yhat=yhat_n, zl=zl_n, zu=zu_n,
-            mu=mu_n, gamma=gamma_n,
+            v=v_n, v_ref=v_ref_n, rho=rho_n, yhat=yhat_n, y_ls=y_ls,
+            zl=zl_n, zu=zu_n, mu=mu_n, gamma=gamma_n,
             delta_w=delta_next, theta_ref=theta_ref_n, it=st.it + 1,
             converged=conv, kkt_err=err0,
         )
@@ -447,7 +542,7 @@ def solve(
             def scan_step(st, _):
                 st_n = jax.lax.cond(cond(st), step, lambda s: s, st)
                 rec = (st_n.kkt_err, st_n.mu, st_n.gamma, st_n.delta_w,
-                       _inf_norm(c_fn(st_n.v)))
+                       _inf_norm(c_fn(st_n.v)), f_fn(st_n.v))
                 return st_n, rec
             final, trace = jax.lax.scan(scan_step, init_state(), None,
                                         length=opts.max_iter)
@@ -455,7 +550,7 @@ def solve(
             final = jax.lax.while_loop(cond, step, init_state())
             trace = None
     cv = c_fn(final.v)
-    y_fin = final.yhat + cv / final.gamma
+    y_fin = final.y_ls if opts.dual_refine_k > 0 else final.yhat + cv / final.gamma
     _, viol, *_ = kkt_errors(final.v, y_fin, final.zl, final.zu, 0.0)
     return ALMResult(
         v=final.v, y=y_fin, zl=final.zl, zu=final.zu,

@@ -49,6 +49,14 @@ class Scaling(NamedTuple):
     d_z: jax.Array    # (11,) per-kind variable scales
     d_dt: jax.Array   # scalar dt scale
     r_b: jax.Array    # (nb,) boundary row scales
+    # Objective scale: the solver minimizes s_f * f.  Without it a
+    # thrust-quadratic cost like G7's (kT=100, |grad f| ~ 2e3 in scaled
+    # variables) needs multipliers ~1e6 that first-order AL updates reach
+    # only after thousands of outer rounds — observed as convergence to a
+    # locally-infeasible glide with the penalty never winning.  SNOPT
+    # applies objective row scaling for exactly this reason.  1.0 when the
+    # seed gradient is already O(1) (e.g. S10).
+    s_f: jax.Array = None  # type: ignore[assignment]
 
 
 def default_scaling(nlp: CollocationNLP, dtype=None) -> Scaling:
@@ -79,14 +87,22 @@ def default_scaling(nlp: CollocationNLP, dtype=None) -> Scaling:
                    + (GT * d_z[None, :]) ** 2 @ jnp.ones(d_z.shape[0], dtype)
                    + (Gdt * d_dt) ** 2)
     r_b = jnp.clip(row, 1e-2, 1e6).astype(dtype)
-    return Scaling(d_z=d_z, d_dt=d_dt.astype(dtype), r_b=r_b)
+    # Objective scale from the seed gradient in scaled variables
+    # (chain rule: grad_u f = d * grad_v f).
+    gZ, gdt = jax.grad(nlp.total_cost, argnums=(0, 1))(Z0, dt0, inst)
+    g_inf = jnp.maximum(jnp.max(jnp.abs(gZ * d_z[None, :])),
+                        jnp.abs(gdt * d_dt))
+    s_f = 1.0 / jnp.clip(g_inf, 1.0, 1e12)
+    return Scaling(d_z=d_z, d_dt=d_dt.astype(dtype), r_b=r_b,
+                   s_f=s_f.astype(dtype))
 
 
 def unit_scaling(nlp: CollocationNLP, dtype=None) -> Scaling:
     dtype = dtype or nlp.inst0.z_lo.dtype
     return Scaling(d_z=jnp.ones(NUM_VARS, dtype),
                    d_dt=jnp.ones((), dtype),
-                   r_b=jnp.ones(nlp.nb, dtype))
+                   r_b=jnp.ones(nlp.nb, dtype),
+                   s_f=jnp.ones((), dtype))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -159,15 +175,16 @@ def _scale_nlp(nlp: CollocationNLP, sc: Scaling) -> CollocationNLP:
     d_z, d_dt = sc.d_z, sc.d_dt
     r_d = sc.d_z[:NUM_STATES]        # defect row i has units of state i
     r_b = sc.r_b
+    s_f = sc.s_f if sc.s_f is not None else 1.0
 
     raw_node, raw_glob = nlp.node_cost_fn, nlp.global_cost_fn
     raw_defect, raw_boundary, raw_seed = nlp.defect_fn, nlp.boundary_fn, nlp.seed_fn
 
     def node_cost(z, dt, inst):
-        return raw_node(d_z * z, d_dt * dt, inst)
+        return s_f * raw_node(d_z * z, d_dt * dt, inst)
 
     def global_cost(z0, zT, dt, inst):
-        return raw_glob(d_z * z0, d_z * zT, d_dt * dt, inst)
+        return s_f * raw_glob(d_z * z0, d_z * zT, d_dt * dt, inst)
 
     def defect(z_i, z_ip1, dt, inst):
         return raw_defect(d_z * z_i, d_z * z_ip1, d_dt * dt, inst) / r_d
