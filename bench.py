@@ -39,7 +39,7 @@ import numpy as np
 def main():
     ts = int(os.environ.get("BENCH_TS", "100"))
     batch = int(os.environ.get("BENCH_BATCH", "1024"))
-    max_iter = int(os.environ.get("BENCH_MAX_ITER", "64"))
+    max_iter = int(os.environ.get("BENCH_MAX_ITER", "80"))
     refine = int(os.environ.get("BENCH_REFINE", "1"))
     # SNOPT-comparable working tolerances (the reference runs S10 at
     # opt_tol 1e-3 / feas_tol 1e-5, problems/S10/snopt.param:6-7); float32
@@ -66,6 +66,30 @@ def main():
                       prox=prox, gamma_shrink=0.2, gamma_eager=True,
                       dual_refine_k=int(os.environ.get("BENCH_DUALK", "4")))
 
+    # Two-phase continuation (default): the S10 optimum sits at the end of
+    # a long shallow energy-exchange valley (the f64 oracle walks it for
+    # ~800 Newton iterations; scipy trust-constr after 3000 sparse-SQP
+    # iterations is still 17.6% above it — see scratch/oracle_tc.py).
+    # Phase 1 runs the AL with loose feasibility (no prox, no convergence
+    # checks, cheap pallas chain without refinement): the cost dives
+    # through the valley on the infeasible side.  Phase 2 is the
+    # production endgame (cr chain + saddle refinement + dual-refined
+    # certificates) pulling back to feasibility inside the right basin.
+    two_phase = os.environ.get("BENCH_TWO_PHASE", "1") == "1"
+    n1 = int(os.environ.get("BENCH_N1", "90"))
+    chain1 = os.environ.get("BENCH_CHAIN1", "pallas")
+    if two_phase:
+        kkt1 = make_condensed_kkt(can, refine=0, chain=chain1)
+        opts1 = ALMOptions(tol=1e-12, feas_tol=1e-12, max_iter=n1,
+                           gamma_init=0.01, mu_init=1e-5, mu_shrink=0.1,
+                           prox=0.0, dual_refine_k=0)
+
+        def solve_one(v):
+            r1 = alm_solve(can, kkt1, opts1, v0=v)
+            return alm_solve(can, kkt, opts, v0=r1.v, y0=r1.y)
+    else:
+        solve_one = lambda v: alm_solve(can, kkt, opts, v0=v)
+
     # Batch over perturbed initial conditions (Monte-Carlo style): same
     # mission family, different seeds.
     v0 = can.initial_point()
@@ -75,7 +99,7 @@ def main():
     v0s = jnp.clip(v0[None, :] + dv, lb[None, :], ub[None, :])
     v0s = jnp.where(fixed[None, :], lb[None, :], v0s)
 
-    run = jax.jit(jax.vmap(lambda v: alm_solve(can, kkt, opts, v0=v)))
+    run = jax.jit(jax.vmap(solve_one))
 
     t0 = time.time()
     out = run(v0s)
@@ -145,7 +169,8 @@ def main():
                                if ctrl_l2 is not None else None),
             "wall_s": round(elapsed, 3),
             "compile_s": round(compile_and_first - elapsed, 1),
-            "median_iters": int(np.median(np.asarray(out.iterations))),
+            "median_iters": int(np.median(np.asarray(out.iterations)))
+                            + (n1 if two_phase else 0),
             "platform": jax.devices()[0].platform,
         },
     }

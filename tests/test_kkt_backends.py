@@ -86,6 +86,36 @@ def test_convexified_backend_descent_directions():
     assert float(rhs_v @ dv2) > 0.0  # dv2 aligned with -g (rhs_v = -g)
 
 
+@pytest.mark.parametrize("mission,ts", [("S10", 8), ("G7", 8)])
+def test_pallas_chain_matches_dense(mission, ts):
+    """chain="pallas" (ops/chainkern.py fused kernels, interpret mode on
+    CPU) solves the identical saddle system — the same oracle contract the
+    scan and cr chains are held to.  Batched (the pallas batch rule needs
+    B % 128 == 0; here the vmap fallback path plus the interpreted kernels
+    both run via a 128-wide batch)."""
+    nlp = make_problem(mission, aircraft="tempest", ts=ts, wind_model=1)
+    can = canonicalize(nlp)
+    dense = make_dense_kkt(can)
+    pk = make_condensed_kkt(can, chain="pallas")
+    v, y, sigma, rhs_v, rhs_c = _state(can)
+    dw = 300.0
+    dc = jnp.full((can.m,), 0.05)
+    dv_d, dy_d = dense(v, y, sigma, dw, dc, rhs_v, rhs_c)
+    B = 128
+    tile = lambda a: jnp.broadcast_to(a, (B,) + a.shape)
+    dv_p, dy_p = jax.vmap(
+        lambda vv, yy, ss, rv, rc: pk(vv, yy, ss, dw, dc, rv, rc))(
+        tile(v), tile(y), tile(sigma), tile(rhs_v), tile(rhs_c))
+    scale = max(1.0, float(jnp.max(jnp.abs(dv_d))))
+    np.testing.assert_allclose(np.asarray(dv_p[0]), np.asarray(dv_d),
+                               atol=1e-8 * scale)
+    np.testing.assert_allclose(np.asarray(dv_p[-1]), np.asarray(dv_d),
+                               atol=1e-8 * scale)
+    yscale = max(1.0, float(jnp.max(jnp.abs(dy_d))))
+    np.testing.assert_allclose(np.asarray(dy_p[0]), np.asarray(dy_d),
+                               atol=1e-7 * yscale)
+
+
 @pytest.mark.parametrize("mission,ts", [("S10", 8), ("G7", 8), ("S10", 16),
                                         ("S10", 13)])
 def test_cyclic_reduction_matches_dense(mission, ts):

@@ -90,3 +90,36 @@ def write_results_json(path: str, doc: Dict[str, Any]) -> None:
 def read_results_json(path: str) -> Dict[str, Any]:
     with open(path) as f:
         return json.load(f)
+
+
+def write_results_txt(path: str, doc: Dict[str, Any]) -> None:
+    """Tab-separated text variant (``problem::writeTXT``,
+    src/problem.cpp:1371-1418): header comment lines, one column per state
+    with ``%-4.7e`` formatting, then dt and FinalCost columns repeated per
+    row; time accumulates by dt.  Two reference quirks are deliberately
+    fixed rather than reproduced: the header's ``tf_i`` is the actual final
+    time (the reference hardcodes 10, :1381) and the mission line reports
+    the real problem name (the reference always prints "ProblemS10",
+    :1395).
+    """
+    tr = doc["trajectory"]
+    dt = float(doc["dt"])
+    names = ["x", "y", "z", "Va", "gamma", "chi", "phi", "CL",
+             "dphi", "dCL", "T"]
+    keys = ["x", "y", "z", "Va", "gam", "chi", "phi", "CL",
+            "dphi", "dCL", "T"]
+    n = len(tr["x"])
+    tfinal = dt * (n - 1)
+    with open(path, "w") as f:
+        f.write("% SNOPT Output: Thesis Optimization \n")
+        f.write(f"% Simulation: tf_i = {tfinal:4.2f} s, dt_i = {dt:4.2f} s \n")
+        f.write("% time \t \t" + "".join(f"{c} \t \t" for c in names)
+                + "dt \t \tFinal Cost \n")
+        f.write(f"Problem{doc.get('problem', 'S10')} \n")
+        t = 0.0
+        for i in range(n):
+            cells = [f"{t:-4.7e} \t"]
+            cells += [f"{float(tr[k][i]):-4.7e} \t" for k in keys]
+            cells += [f"{dt:-4.7e} \t", f"{float(doc['FinalCost']):-4.7e} \n"]
+            f.write("".join(cells))
+            t += dt

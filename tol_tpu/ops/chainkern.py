@@ -46,17 +46,26 @@ def _interpret() -> bool:
 # slab algebra: arrays (..., n, m, B) with vectors on the trailing lane axis
 # ---------------------------------------------------------------------------
 
+def _col(A, j):
+    """(n, m, B) -> column j as (n, B) via slice+reshape (Mosaic lowers
+    scalar middle-axis indexing of 3D arrays as an unsupported gather)."""
+    n, _, B = A.shape
+    return jnp.reshape(jax.lax.slice_in_dim(A, j, j + 1, axis=1), (n, B))
+
+
 def _chol_slab(A):
     """Cholesky of SPD slab ``A``: (n, n, B) -> columns list [(n, B)]."""
     n = A.shape[0]
     cols = []
     for j in range(n):
-        s = A[:, j]                      # (n, B)
+        s = _col(A, j)                   # (n, B)
         for k in range(j):
             s = s - cols[k][j] * cols[k]
-        d = jax.lax.rsqrt(s[j])          # (B,)
-        col = s * d
-        cols.append(col)
+        # NOT lax.rsqrt: the TPU rsqrt is a fast approximation and the
+        # solver endgame needs full f32 pivots (measured: rsqrt pivots
+        # stall the ALM at ~1e-4 feasibility).
+        d = 1.0 / jnp.sqrt(s[j])         # (B,)
+        cols.append(s * d)
     return cols
 
 
@@ -92,20 +101,28 @@ def _spd_inverse_slab(A):
 
 
 def _mm_slab(A, Bm):
-    """(n, k, B) @ (k, m, B) -> (n, m, B), unrolled over k."""
+    """(n, k, B) @ (k, m, B) -> (n, m, B), unrolled over k.
+
+    Written with pure slices (no scalar indexing of 3D operands): Mosaic
+    lowers those as >2D gathers, which are unsupported.
+    """
     k = A.shape[1]
-    out = A[:, 0, None, :] * Bm[None, 0, :, :]
-    for j in range(1, k):
-        out = out + A[:, j, None, :] * Bm[None, j, :, :]
+    out = None
+    for j in range(k):
+        t = jax.lax.slice_in_dim(A, j, j + 1, axis=1) \
+            * jax.lax.slice_in_dim(Bm, j, j + 1, axis=0)  # (n,1,B)*(1,m,B)
+        out = t if out is None else out + t
     return out
 
 
 def _mm_tn_slab(A, Bm):
     """(k, n, B)^T @ (k, m, B) -> (n, m, B), unrolled over k."""
     k = A.shape[0]
-    out = A[0, :, None, :] * Bm[0, None, :, :]
-    for j in range(1, k):
-        out = out + A[j, :, None, :] * Bm[j, None, :, :]
+    out = None
+    for j in range(k):
+        a_j = jnp.swapaxes(jax.lax.slice_in_dim(A, j, j + 1, axis=0), 0, 1)
+        t = a_j * jax.lax.slice_in_dim(Bm, j, j + 1, axis=0)
+        out = t if out is None else out + t
     return out
 
 
