@@ -23,6 +23,18 @@ accidents; on a flat manifold the meaningful optimality metric is the
 cost gap + feasibility.  Control L2 vs the oracle is still reported in
 the detail block.
 
+How hard the cost gate is (external referee): the golden itself is this
+repo's f64 solve at KKT 1e-8, reached only after ~1500 Newton iterations
+through a shallow energy-exchange valley; scipy's trust-constr (sparse
+SQP, f64) started from the same seed stalls 17.6% ABOVE that cost after
+3000 iterations / 835 s (scratch/oracle_tc.py, cross-checked in
+tests/test_external_oracle.py).  The two-phase continuation below gets
+the f32 TPU solves within the 1e-2 gate in ~150 iterations.
+
+Additional reported configs: warm-started replanning latency
+(BENCH_REPLAN, BASELINE config 4) and G7-Skywalker ts=100 (BENCH_G7,
+BASELINE config 2).  Scaling efficiency is a separate bench_scaling.py.
+
 Runs on whatever accelerator JAX selects (the driver provides one TPU
 chip); float32 on TPU with the nondimensionalized condensed-KKT ALM.
 """
@@ -143,12 +155,87 @@ def main():
     feas_ok = viol < feas
     if cost_gap is not None:
         # A solve on the flat manifold may legitimately land *below* the
-        # oracle cost while feasible to tolerance; gate one-sided.
-        ok = feas_ok & (cost_gap < cost_gap_gate)
+        # oracle cost while feasible to tolerance; gate one-sided.  A
+        # counted solve must ALSO carry a KKT certificate (converged).
+        ok = conv & feas_ok & (cost_gap < cost_gap_gate)
     else:
-        ok = feas_ok
+        ok = conv & feas_ok
     n_ok = int(np.sum(ok))
     solves_per_s = n_ok / elapsed if elapsed > 0 else 0.0
+
+    # ---- warm-start replanning latency (BASELINE config 4) ----
+    # One aircraft replans one leg: batch-1 endgame solve warm-started
+    # from the previous solution (primal + duals) after a small state
+    # perturbation — the receding-horizon production path
+    # (mission/mission.py solve_leg warm start).
+    replan_p50_ms = None
+    replan_iters = None
+    if os.environ.get("BENCH_REPLAN", "1") == "1" and batch > 0:
+        i_best = int(np.argmin(viol))
+        v_warm = out.v[i_best]
+        y_warm = out.y[i_best]
+        kkt_r = make_condensed_kkt(can, refine=refine, chain="cr")
+        opts_r = ALMOptions(tol=tol, feas_tol=feas, max_iter=max_iter,
+                            gamma_init=0.01, mu_init=1e-5, mu_shrink=0.1,
+                            prox=prox, gamma_shrink=0.2, gamma_eager=True,
+                            dual_refine_k=4)
+
+        @jax.jit
+        def replan(v0, y0):
+            return alm_solve(can, kkt_r, opts_r, v0=v0, y0=y0)
+
+        pert = 0.003 * jax.random.normal(jax.random.PRNGKey(7), (can.n,),
+                                         dtype=dtype)
+        v0r = jnp.clip(v_warm + pert, lb, ub)
+        v0r = jnp.where(fixed, lb, v0r)
+        r = replan(v0r, y_warm)             # compile
+        jax.block_until_ready(r.v)
+        times = []
+        for k in range(9):
+            t0 = time.time()
+            r = replan(v0r, y_warm)
+            jax.block_until_ready(r.v)
+            times.append(time.time() - t0)
+        replan_p50_ms = float(np.median(times) * 1000.0)
+        replan_iters = int(r.iterations)
+
+    # ---- G7-Skywalker ts=100 (BASELINE config 2) ----
+    g7 = None
+    if os.environ.get("BENCH_G7", "1") == "1":
+        g7_batch = int(os.environ.get("BENCH_G7_BATCH", "256"))
+        nlp_g = make_problem("G7", aircraft="skywalker", ts=ts, wind_model=1,
+                             dtype=dtype)
+        can_g = canonicalize(nlp_g, scaling="auto")
+        kkt_g = make_condensed_kkt(can_g, refine=refine, chain="cr")
+        opts_g = ALMOptions(tol=tol, feas_tol=feas,
+                            max_iter=int(os.environ.get("BENCH_G7_ITER",
+                                                        "320")),
+                            gamma_init=0.01, mu_init=1e-5, mu_shrink=0.1,
+                            prox=prox, dual_refine_k=8)
+        v0g = can_g.initial_point()
+        lbg, ubg, fxg = can_g.bounds(can_g.nlp.inst0)
+        dvg = 0.01 * jax.random.normal(jax.random.PRNGKey(1),
+                                       (g7_batch, can_g.n), dtype=dtype)
+        v0gs = jnp.clip(v0g[None] + dvg, lbg[None], ubg[None])
+        v0gs = jnp.where(fxg[None], lbg[None], v0gs)
+        run_g = jax.jit(jax.vmap(lambda v: alm_solve(can_g, kkt_g, opts_g,
+                                                     v0=v)))
+        og = run_g(v0gs)
+        jax.block_until_ready(og.f)
+        t0 = time.time()
+        og = run_g(v0gs)
+        jax.block_until_ready(og.f)
+        g7_wall = time.time() - t0
+        convg = np.asarray(og.converged)
+        g7 = {
+            "batch": g7_batch,
+            "converged": int(convg.sum()),
+            "median_kkt": float(np.median(np.asarray(og.kkt_err))),
+            "median_viol": float(np.median(np.asarray(og.constr_viol))),
+            "median_iters": int(np.median(np.asarray(og.iterations))),
+            "wall_s": round(g7_wall, 3),
+            "solves_per_s": round(float(convg.sum()) / g7_wall, 2),
+        }
 
     result = {
         "metric": "s10_tempest_solves_per_s_per_chip",
@@ -171,6 +258,10 @@ def main():
             "compile_s": round(compile_and_first - elapsed, 1),
             "median_iters": int(np.median(np.asarray(out.iterations)))
                             + (n1 if two_phase else 0),
+            "replan_p50_ms": (round(replan_p50_ms, 2)
+                              if replan_p50_ms is not None else None),
+            "replan_iters": replan_iters,
+            "g7_skywalker": g7,
             "platform": jax.devices()[0].platform,
         },
     }

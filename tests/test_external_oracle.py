@@ -1,0 +1,70 @@
+"""Independent-solver cross-check (VERDICT round-1 Missing #4).
+
+The golden trajectory was produced by this repo's own solver; these tests
+referee it against scipy's trust-constr (an unrelated f64 SQP/interior
+implementation) on the same canonical NLP:
+
+  * both must reach feasible points,
+  * our converged cost must be at least as good as the external solver's
+    (measured at ts=100: trust-constr stalls 17.6% ABOVE our oracle after
+    3000 iterations — see scratch/oracle_tc.py — so "as good" is the
+    meaningful direction),
+  * at a small horizon where trust-constr fully converges, the costs must
+    agree tightly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tol_tpu.api import make_problem
+from tol_tpu.solver import canonicalize
+from tol_tpu.solver.alm import ALMOptions, solve as alm_solve
+from tol_tpu.solver.kkt_condensed import make_condensed_kkt
+
+
+def _solve_external(can, inst, maxiter=600):
+    import scipy.sparse as sp
+    from scipy.optimize import Bounds, NonlinearConstraint, minimize
+
+    f = jax.jit(lambda v: can.f(v, inst))
+    g = jax.jit(jax.grad(lambda v: can.f(v, inst)))
+    c = jax.jit(lambda v: can.c(v, inst))
+    J = jax.jit(jax.jacfwd(lambda v: can.c(v, inst)))
+    lb = np.clip(np.asarray(can.bounds(inst)[0]), -1e19, 1e19)
+    ub = np.clip(np.asarray(can.bounds(inst)[1]), -1e19, 1e19)
+    v0 = np.asarray(can.initial_point())
+    res = minimize(
+        lambda v: float(f(jnp.asarray(v))), v0,
+        jac=lambda v: np.asarray(g(jnp.asarray(v))),
+        method="trust-constr", bounds=Bounds(lb, ub),
+        constraints=[NonlinearConstraint(
+            lambda v: np.asarray(c(jnp.asarray(v))), 0.0, 0.0,
+            jac=lambda v: sp.csr_matrix(np.asarray(J(jnp.asarray(v)))))],
+        options={"maxiter": maxiter, "gtol": 1e-9, "xtol": 1e-13})
+    viol = float(np.max(np.abs(np.asarray(c(jnp.asarray(res.x))))))
+    return float(f(jnp.asarray(res.x))), viol, res
+
+
+@pytest.mark.slow
+def test_s10_cost_vs_trust_constr():
+    ts = 8
+    nlp = make_problem("S10", aircraft="tempest", ts=ts, wind_model=1)
+    can = canonicalize(nlp, scaling="auto")
+    kkt = make_condensed_kkt(can, refine=1, chain="cr")
+    res = alm_solve(can, kkt,
+                    ALMOptions(tol=1e-7, feas_tol=1e-8, max_iter=1200,
+                               gamma_init=0.01, mu_init=1e-5, mu_shrink=0.1))
+    assert bool(res.converged)
+    f_ours = float(res.f)
+    f_ext, viol_ext, ext = _solve_external(can, nlp.inst0, maxiter=800)
+    assert viol_ext < 1e-5, "external solver failed to produce a referee point"
+    # We must be at least as optimal as the external referee (tiny slack
+    # for solver-tolerance differences).
+    assert f_ours <= f_ext * (1.0 + 1e-3) + 1e-9
+    # And when the external solver fully converges at this size, the two
+    # independent implementations agree on the optimum.
+    if ext.status in (1, 2):
+        assert f_ours == pytest.approx(f_ext, rel=5e-3)
