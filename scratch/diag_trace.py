@@ -46,7 +46,7 @@ out = run(v0s)
 jax.block_until_ready(out.f)
 print("compile+run", time.time() - t0)
 
-kkt_tr, mu_tr, gam_tr, dw_tr, viol_tr = [np.asarray(x) for x in out.trace]
+kkt_tr, mu_tr, gam_tr, dw_tr, viol_tr, f_tr = [np.asarray(x) for x in out.trace]
 final_kkt = np.asarray(out.kkt_err)
 med = int(np.argsort(final_kkt)[batch // 2])
 print("final kkt:", final_kkt)

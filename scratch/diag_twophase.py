@@ -23,6 +23,8 @@ dtype = jnp.float32
 nlp = make_problem("S10", aircraft="tempest", ts=ts, wind_model=1, dtype=dtype)
 can = canonicalize(nlp, scaling="auto")
 kkt = make_condensed_kkt(can, refine=1, chain="cr")
+kkt1 = make_condensed_kkt(can, refine=int(os.environ.get("R1", "0")) if False else 0,
+                          chain=os.environ.get("CH1", "cr"))
 import os as _os
 opts1 = ALMOptions(tol=1e-12, feas_tol=1e-12, max_iter=N1, gamma_init=0.01,
                    mu_init=1e-5, mu_shrink=0.1, prox=0.0,
@@ -40,7 +42,7 @@ v0s = jnp.clip(v0[None] + dv, lb[None], ub[None])
 v0s = jnp.where(fixed[None], lb[None], v0s)
 
 def solve2(v):
-    r1 = alm_solve(can, kkt, opts1, v0=v)
+    r1 = alm_solve(can, kkt1, opts1, v0=v)
     return alm_solve(can, kkt, opts2, v0=r1.v, y0=r1.y)
 
 out = jax.jit(jax.vmap(solve2))(v0s)
