@@ -7,6 +7,14 @@ from tol_tpu.parallel.timeshard import (
     sharded_all_defects,
     sharded_constraint_norm,
 )
+from tol_tpu.parallel.multihost import (
+    global_psum,
+    global_stats_to_host,
+    init_multihost,
+    local_batch_to_global,
+)
 
 __all__ = ["make_mesh", "shard_instances", "sharded_batch_solve",
-           "sharded_all_defects", "sharded_constraint_norm"]
+           "sharded_all_defects", "sharded_constraint_norm",
+           "init_multihost", "local_batch_to_global",
+           "global_stats_to_host", "global_psum"]
