@@ -50,11 +50,9 @@ import numpy as np
 # Persistent XLA compilation cache: the solver while-loops compile through
 # a remote helper in minutes; caching them on disk makes every rerun of
 # this bench (same shapes/flags) start in seconds instead.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from tol_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 
 def main():

@@ -39,9 +39,17 @@ def test_two_process_global_mesh():
         for i in range(nproc)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=300)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        # On timeout/failure kill BOTH workers: a surviving peer blocks
+        # forever inside gloo collectives holding the coordinator port.
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
 

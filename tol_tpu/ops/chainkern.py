@@ -167,6 +167,37 @@ def _factor_kernel(M_ref, R_ref, O_ref, dinv_ref, t2_ref, tR_ref, s_ref,
         s_ref[...] = s_acc[...]
 
 
+def _rhs_forward_kernel(dinv_ref, o_ref, trw_ref, r_ref, tr_ref, sb_ref,
+                        rcorr, sb_acc):
+    """Forward elimination of ONE rhs column reusing stored factors.
+
+    Same recurrence as :func:`_factor_kernel` restricted to the rhs column:
+        r~_j = r_j - O_{j-1}^T tr_{j-1},   tr_j = Dinv_j r~_j,
+        sb  += tRw_j^T r~_j                (border-reduction accumulator,
+                                            valid since D is symmetric:
+                                            W~^T D^-1 r~ = (D^-1 W~)^T r~).
+    The O(n^3) inverse work of the factor pass is skipped — a refinement
+    pass costs O(n^2) per block instead of O(n^3).
+    """
+    i = pl.program_id(0)
+    T = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        rcorr[...] = jnp.zeros_like(rcorr)
+        sb_acc[...] = jnp.zeros_like(sb_acc)
+
+    rt = r_ref[0] - rcorr[...]                      # (n, 1, B)
+    tr = _mm_slab(dinv_ref[0], rt)                  # (n, 1, B)
+    sb_acc[...] = sb_acc[...] + _mm_tn_slab(trw_ref[0], rt)
+    rcorr[...] = _mm_slab(jnp.swapaxes(o_ref[0], 0, 1), tr)
+    tr_ref[0] = tr
+
+    @pl.when(i == T - 1)
+    def _():
+        sb_ref[...] = sb_acc[...]
+
+
 def _bwd_kernel(tR_ref, t2_ref, coef_ref, x_ref, x_next):
     """Backward substitution, reverse grid order.
 
@@ -186,6 +217,31 @@ def _bwd_kernel(tR_ref, t2_ref, coef_ref, x_ref, x_next):
 # ---------------------------------------------------------------------------
 # host-side wrappers
 # ---------------------------------------------------------------------------
+
+def _rhs_forward_batched(Dinv, O, tRw, r):
+    """Dinv, O: (T, n, n, B); tRw: (T, n, nB, B); r: (T, n, 1, B).
+
+    Returns (tr (T, n, 1, B), sb (nB, 1, B))."""
+    T, n, _, B = Dinv.shape
+    nB = tRw.shape[2]
+    dtype = Dinv.dtype
+    slab = lambda a, b: pl.BlockSpec((1, a, b, B), lambda i: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _rhs_forward_kernel,
+        grid=(T,),
+        in_specs=[slab(n, n), slab(n, n), slab(n, nB), slab(n, 1)],
+        out_specs=(slab(n, 1),
+                   pl.BlockSpec((nB, 1, B), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((T, n, 1, B), dtype),
+                   jax.ShapeDtypeStruct((nB, 1, B), dtype)),
+        scratch_shapes=[
+            pltpu.VMEM((n, 1, B), dtype),
+            pltpu.VMEM((nB, 1, B), dtype),
+        ],
+        interpret=_interpret(),
+    )(Dinv, O, tRw, r)
 
 def _factor_eliminate_batched(M, O, R):
     """M, O: (T, n, n, B); R: (T, n, nC, B).
@@ -316,6 +372,62 @@ def _chain_eliminate_vmap(axis_size, in_batched, M, O, R):
     fb = lambda a: jnp.transpose(a, (3, 0, 1, 2))
     return (fb(Dinv), fb(t2), fb(tR), jnp.transpose(S, (2, 0, 1))), \
         (True, True, True, True)
+
+
+def _scan_rhs_forward(Dinv, O, tRw, r):
+    """Unbatched reference for :func:`chain_rhs_forward`: (T, n, n),
+    (T, n, n), (T, n, nB), (T, n) -> (tr (T, n), sb (nB,))."""
+    from tol_tpu.ops.smallalg import bmv, bmv_t
+
+    nB = tRw.shape[2]
+
+    def step(carry, inp):
+        rcorr, sb = carry
+        Dinv_i, O_i, tRw_i, r_i = inp
+        rt = r_i - rcorr
+        tr = bmv(Dinv_i, rt)
+        sb = sb + bmv_t(tRw_i, rt)
+        return (bmv_t(O_i, tr), sb), tr
+
+    (_, sb), trs = jax.lax.scan(
+        step, (jnp.zeros((Dinv.shape[1],), Dinv.dtype),
+               jnp.zeros((nB,), Dinv.dtype)),
+        (Dinv, O, tRw, r))
+    return trs, sb
+
+
+@jax.custom_batching.custom_vmap
+def chain_rhs_forward(Dinv, O, tRw, r):
+    """Forward-eliminate one rhs column with stored factors (single
+    instance): Dinv, O: (T, n, n); tRw: (T, n, nB); r: (T, n).
+
+    Returns (tr (T, n), sb (nB,)) with sb the border-reduction
+    accumulator sum_j W~_j^T D_j^-1 r~_j."""
+    return _scan_rhs_forward(Dinv, O, tRw, r)
+
+
+@chain_rhs_forward.def_vmap
+def _chain_rhs_forward_vmap(axis_size, in_batched, Dinv, O, tRw, r):
+    db, ob, wb, rb = in_batched
+    if not db:
+        Dinv = jnp.broadcast_to(Dinv, (axis_size,) + Dinv.shape)
+    if not ob:
+        O = jnp.broadcast_to(O, (axis_size,) + O.shape)
+    if not wb:
+        tRw = jnp.broadcast_to(tRw, (axis_size,) + tRw.shape)
+    if not rb:
+        r = jnp.broadcast_to(r, (axis_size,) + r.shape)
+    B = axis_size
+    if B % 128 != 0:
+        out = jax.lax.map(lambda args: _scan_rhs_forward(*args),
+                          (Dinv, O, tRw, r))
+        return out, (True, True)
+    tb = lambda a: jnp.transpose(a, (1, 2, 3, 0))
+    tr, sb = _rhs_forward_batched(
+        tb(Dinv), tb(O), tb(tRw),
+        jnp.transpose(r[..., None], (1, 2, 3, 0)))
+    return (jnp.transpose(tr[:, :, 0, :], (2, 0, 1)),
+            jnp.transpose(sb[:, 0, :], (1, 0))), (True, True)
 
 
 @jax.custom_batching.custom_vmap

@@ -42,19 +42,35 @@ def init_multihost(coordinator: str, num_processes: int, process_id: int,
                                process_id=process_id)
 
 
-def local_batch_to_global(mesh: Mesh, tree):
+def local_batch_to_global(mesh: Mesh, tree, local_batch: int | None = None):
     """Assemble per-process batch shards into one global "dp"-sharded array.
 
     Each process passes the slice of the scenario batch it loaded (e.g.
     its share of Monte-Carlo initial states); the result is a global array
     of leading dimension ``num_processes * local_batch`` usable inside
-    ``jit`` under ``mesh``.  Leaves with no batch axis are replicated.
+    ``jit`` under ``mesh``.
+
+    A leaf is treated as batched (concatenated across processes along axis
+    0) only when its leading dimension is the per-process batch: pass
+    ``local_batch`` explicitly, or leave ``None`` to infer it as the
+    leading dimension of the largest-rank leaf.  Everything else (scalars,
+    shared parameter vectors identical on each host) is replicated — the
+    same contract as :func:`tol_tpu.parallel.mesh.shard_instances`.
     """
     from jax.experimental import multihost_utils
 
+    leaves = [jnp.asarray(x) for x in jax.tree_util.tree_leaves(tree)]
+    if local_batch is None:
+        batched_leaves = [x for x in leaves if x.ndim >= 1]
+        if not batched_leaves:
+            return jax.tree_util.tree_map(
+                lambda x: multihost_utils.host_local_array_to_global_array(
+                    jnp.asarray(x), mesh, P()), tree)
+        local_batch = max(batched_leaves, key=lambda x: x.ndim).shape[0]
+
     def put(x):
         x = jnp.asarray(x)
-        spec = P("dp") if x.ndim >= 1 else P()
+        spec = P("dp") if (x.ndim >= 1 and x.shape[0] == local_batch) else P()
         return multihost_utils.host_local_array_to_global_array(x, mesh, spec)
 
     return jax.tree_util.tree_map(put, tree)
@@ -73,9 +89,10 @@ def global_stats_to_host(tree):
 
 
 def global_psum(mesh: Mesh, x, axis: str = "dp"):
-    """Explicit cross-host reduction of a "dp"-sharded array (sum over the
-    batch axis) — the merit/Monte-Carlo reduction deliverable.  Returns the
-    scalar total, replicated to every process.
+    """Explicit cross-host reduction of a "dp"-sharded array — the
+    merit/Monte-Carlo reduction deliverable.  Sums over *all* elements of
+    ``x`` (batch axis and any trailing axes) and returns the scalar total,
+    replicated to every process.
     """
     def blk(xb):
         return jax.lax.psum(jnp.sum(xb), axis)[None]

@@ -32,6 +32,22 @@ exactly the AL Newton system (H + J^T J/gamma + Sigma) dv = -grad AL_mu).
 
 Everything is one jittable ``lax.while_loop`` — thousands of instances
 batch in lock-step under ``vmap``, each with its own (mu, gamma, yhat).
+
+Two parameter channels keep recompiles rare on TPU (remote XLA compiles
+of these while-loops cost minutes):
+
+  * :class:`ALMOptions` — *static* structure: iteration/trial counts,
+    refinement depths, trace mode.  Changing any of these recompiles.
+  * :class:`ALMParams` — *runtime* numerics: tolerances and annealing
+    schedules as traced scalars.  Tuning them reuses the compiled
+    program (pass them as jit arguments).
+
+Continuation ("two-phase") solves run INSIDE the single compiled loop:
+pass ``phase1=Phase1(params=..., n_max=..., exit_df=...)`` and each batch
+lane starts in an exploration phase (typically loose feasibility so the
+cost dives through shallow valleys first — see bench.py) and switches
+per-lane to the endgame parameters when its cost descent stalls, instead
+of burning a fixed iteration budget in a separately-compiled program.
 """
 
 from __future__ import annotations
@@ -47,6 +63,13 @@ _BIG = 1e19
 
 
 class ALMOptions(NamedTuple):
+    """Static solver structure + default numeric values.
+
+    The numeric fields double as the source for :meth:`ALMParams.from_options`
+    when no runtime params are passed (they are then baked into the program
+    as constants, which is fine for tests/CLI one-offs).
+    """
+
     tol: float = 1e-8              # final KKT tolerance
     feas_tol: float = 0.0          # feasibility requirement (0 -> use tol)
     mu_init: float = 0.1
@@ -60,7 +83,8 @@ class ALMOptions(NamedTuple):
     theta_mu: float = 1.2          # superlinear mu exponent
     kappa_inner: float = 1.0       # inner tolerance = kappa_inner * mu
     tau_min: float = 0.99
-    max_iter: int = 400
+    max_iter: int = 400            # static iteration cap (trace length; the
+                                   # while-loop also honors params.max_iter)
     max_ls: int = 12    # parallel Armijo trials; the sub-noise full-step
                         # rule covers the tail below a_max * 2^-12
     eta: float = 1e-4              # Armijo factor
@@ -70,23 +94,13 @@ class ALMOptions(NamedTuple):
     bound_push: float = 1e-2
     s_max: float = 100.0
     delta_decay: float = 0.2       # shift decay on success (0.9 = sticky)
-    # Row equilibration: constraint rows span orders of magnitude (position
-    # defects in meters vs angle defects in radians).  Scaling row i by its
-    # Jacobian norm s_i is applied through the per-row penalty
-    # Gamma_i = gamma * s_i^2 (equivalent to running the AL on c_i / s_i),
-    # which equilibrates the condensed system J^T Gamma^-1 J.  In practice
-    # it also rescales the effective multiplier-update rates per row and
-    # measured end-to-end convergence was worse — off by default, kept for
-    # experimentation (proper variable-space nondimensionalization is the
-    # planned fix for float32 headroom).
-    row_equilibrate: bool = False
     # Trigger outer updates on inner stagnation as well as on inner
     # convergence: when the accepted step is tiny, the (possibly modified-
     # Hessian) inner iteration has extracted what it can at this (mu, gamma)
     # — move the outer problem instead of grinding.
     stagnation_outer: bool = True
-    # Record per-iteration (kkt_err, mu, gamma, delta_w, viol) via a fixed-
-    # length scan; returned as ALMResult.trace.  TPU-safe (no callbacks).
+    # Record per-iteration (kkt_err, mu, gamma, delta_w, viol, f) via a
+    # fixed-length scan; returned as ALMResult.trace.  TPU-safe.
     trace: bool = False
     # Proximal ALM: add rho/2 ||v - v_ref||^2 to the inner merit, with
     # v_ref re-centered at every outer update.  The tol NLPs are
@@ -102,14 +116,6 @@ class ALMOptions(NamedTuple):
     # enable ~1e-3 for ill-posed instances where feasibility matters more
     # than last-digit stationarity.
     prox: float = 0.0
-    # Anneal the prox coefficient: once feasibility meets target, each
-    # outer update multiplies rho by prox_shrink (floor prox_min).  A fixed
-    # rho converges only linearly at rate h/(h+rho) along manifold
-    # directions with curvature h << rho; annealing can recover superlinear
-    # outer convergence (Rockafellar).  Default 1.0 = no annealing (measured
-    # neutral-to-worse on the tol NLPs; kept for experimentation).
-    prox_shrink: float = 1.0
-    prox_min: float = 0.0
     # Least-squares dual refinement (k CG steps on the Gauss-Newton normal
     # equations of  min_y || W (grad f - z + J^T y) ||, matrix-free via
     # jax.linearize).  The tol NLPs are degenerate: the constraint Jacobian
@@ -119,12 +125,9 @@ class ALMOptions(NamedTuple):
     # ~1e-2 even when the primal iterate is optimal (measured: the LSQ
     # multiplier at the stalled iterate certifies KKT 5e-4).  A KKT
     # certificate only needs *some* multiplier; this computes a near-best
-    # one.  The refined y gates convergence and (dual_reset) re-seeds the
-    # outer multiplier, turning the first-order update into a Newton-like
     # one.  W^2 = 1/(1+sigma) downweights rows dominated by active bounds
     # (their residual is absorbed by the bound duals).
     dual_refine_k: int = 0
-    dual_reset: bool = False
     # Eager penalty: shrink gamma at *every* outer update while
     # feasibility misses target (not only on stalls).  Faster feasibility
     # contraction (~gamma_shrink per outer instead of the multiplier
@@ -134,10 +137,72 @@ class ALMOptions(NamedTuple):
     verbose: bool = False
 
 
+class ALMParams(NamedTuple):
+    """Runtime solver numerics — every field a traced scalar.
+
+    Pass through jit boundaries as an argument so tolerance/schedule tuning
+    never recompiles the while-loop program.  ``gamma_eager`` rides along
+    as a 0/1 float; ``max_iter`` as an int32 (must stay <= the static
+    ``ALMOptions.max_iter`` in trace mode, where the scan length is fixed).
+    """
+
+    tol: jax.Array
+    feas_tol: jax.Array            # resolved: 0 -> tol
+    mu_init: jax.Array
+    mu_min: jax.Array              # resolved: 0 -> min(tol/10, mu_init)
+    mu_shrink: jax.Array
+    theta_mu: jax.Array
+    gamma_init: jax.Array
+    gamma_min: jax.Array
+    gamma_shrink: jax.Array
+    prox: jax.Array
+    eta: jax.Array
+    tau_min: jax.Array
+    kappa_inner: jax.Array
+    delta_decay: jax.Array
+    gamma_eager: jax.Array         # 0/1
+    max_iter: jax.Array            # int32
+
+    @staticmethod
+    def from_options(opts: ALMOptions, dtype=jnp.float32) -> "ALMParams":
+        feas = opts.feas_tol if opts.feas_tol > 0 else opts.tol
+        mu_min = (opts.mu_min if opts.mu_min > 0
+                  else min(opts.tol / 10.0, opts.mu_init))
+        f = lambda x: jnp.asarray(x, dtype)
+        return ALMParams(
+            tol=f(opts.tol), feas_tol=f(feas), mu_init=f(opts.mu_init),
+            mu_min=f(mu_min), mu_shrink=f(opts.mu_shrink),
+            theta_mu=f(opts.theta_mu), gamma_init=f(opts.gamma_init),
+            gamma_min=f(opts.gamma_min), gamma_shrink=f(opts.gamma_shrink),
+            prox=f(opts.prox), eta=f(opts.eta), tau_min=f(opts.tau_min),
+            kappa_inner=f(opts.kappa_inner), delta_decay=f(opts.delta_decay),
+            gamma_eager=f(1.0 if opts.gamma_eager else 0.0),
+            max_iter=jnp.asarray(opts.max_iter, jnp.int32),
+        )
+
+
+class Phase1(NamedTuple):
+    """In-loop continuation: per-lane exploration phase before the endgame.
+
+    ``params`` drive iterations while a lane is in phase 0 (typically
+    loose: tol ~1e-12 so the lane never converges there, no prox).  The
+    lane switches to the endgame params when its cost descent stalls —
+    ``patience`` consecutive accepted steps with relative cost decrease
+    below ``exit_df`` — or at ``n_max`` iterations, whichever is first.
+    At the switch the outer multiplier absorbs the AL view (yhat + c/gamma),
+    mu/gamma restart at the endgame schedule, and the bound duals re-center
+    exactly as a warm-started fresh solve would.
+    """
+
+    params: ALMParams
+    n_max: jax.Array               # int32: hard cap on phase-0 iterations
+    exit_df: jax.Array             # relative cost-decrease stall threshold
+    patience: int = 3              # static: consecutive slow iters to exit
+
+
 class ALMState(NamedTuple):
     v: jax.Array
     v_ref: jax.Array      # proximal center (last outer iterate)
-    rho: jax.Array        # current prox coefficient (annealed)
     yhat: jax.Array       # outer multiplier estimate
     y_ls: jax.Array       # least-squares refined multiplier (dual_refine_k)
     zl: jax.Array
@@ -149,6 +214,10 @@ class ALMState(NamedTuple):
     it: jax.Array
     converged: jax.Array
     kkt_err: jax.Array
+    phase: jax.Array      # int32: 0 = exploration, 1 = endgame
+    f_prev: jax.Array     # cost at previous iterate (phase-0 exit test)
+    slow: jax.Array       # int32: consecutive slow phase-0 iterations
+    n0: jax.Array         # int32: iterations spent in phase 0
 
 
 class ALMResult(NamedTuple):
@@ -161,7 +230,8 @@ class ALMResult(NamedTuple):
     converged: jax.Array
     kkt_err: jax.Array
     constr_viol: jax.Array
-    trace: tuple | None = None   # opts.trace: per-iter (kkt, mu, gamma, dw, viol)
+    phase1_iters: jax.Array | None = None  # iterations spent in phase 0
+    trace: tuple | None = None   # opts.trace: per-iter (kkt, mu, gamma, dw, viol, f)
 
 
 def _inf_norm(x):
@@ -194,10 +264,14 @@ def solve(
     inst=None,
     v0: jax.Array | None = None,
     y0: jax.Array | None = None,
+    params: ALMParams | None = None,
+    phase1: Phase1 | None = None,
 ) -> ALMResult:
     """Solve one canonical NLP instance.
 
     Batch by vmapping over stacked ``inst`` pytrees and/or ``v0``.
+    ``params``/``phase1`` are runtime pytrees — pass them through jit as
+    arguments to retune without recompiling.
     """
 
     inst = can.nlp._inst(inst)
@@ -209,18 +283,13 @@ def solve(
         v0 = can.initial_point(inst)
     dtype = v0.dtype
 
+    p2 = params if params is not None else ALMParams.from_options(opts, dtype)
+    p1 = phase1.params if phase1 is not None else p2
+
     f_fn = lambda v: can.f(v, inst)
     c_fn = lambda v: can.c(v, inst)
     grad_f = jax.grad(f_fn)
     grad_lag = jax.grad(lambda v, y: f_fn(v) + c_fn(v) @ y, argnums=0)
-
-    if opts.row_equilibrate:
-        J0 = jax.jacfwd(c_fn)(v0)  # one-time, at the seed
-        row_n = jnp.maximum(jnp.max(jnp.abs(J0), axis=1), 1e-6)
-        row_s = row_n / jnp.exp(jnp.mean(jnp.log(row_n)))  # geometric-mean 1
-        row_s2 = row_s * row_s
-    else:
-        row_s2 = jnp.ones(can.m, dtype)
 
     def interior_push(v):
         pl = jnp.where(has_lb, lb + opts.bound_push * jnp.maximum(1.0, jnp.abs(lb)), -jnp.inf)
@@ -231,19 +300,24 @@ def solve(
         v = jnp.where(both, mid, v)
         return jnp.where(fixed, lb, v)
 
-    rho0 = jnp.asarray(opts.prox, dtype)
-
-    def al_value(v, v_ref, rho, yhat, gamma, mu):
+    def barrier(v):
         dl = jnp.where(has_lb, v - lb, 1.0)
         du = jnp.where(has_ub, ub - v, 1.0)
         ok = jnp.all(dl > 0) & jnp.all(du > 0)
-        cv = c_fn(v)
+        val = (jnp.sum(jnp.where(has_lb, jnp.log(dl), 0.0))
+               + jnp.sum(jnp.where(has_ub, jnp.log(du), 0.0)))
+        return val, ok
+
+    def al_of(f_v, cv, v, v_ref, rho, yhat, gamma, mu):
+        """AL merit from precomputed f(v), c(v)."""
+        bar, ok = barrier(v)
         pv = v - v_ref
-        val = (f_fn(v) + yhat @ cv + (cv @ cv) / (2.0 * gamma)
-               + 0.5 * rho * (pv @ pv)
-               - mu * (jnp.sum(jnp.where(has_lb, jnp.log(dl), 0.0))
-                       + jnp.sum(jnp.where(has_ub, jnp.log(du), 0.0))))
+        val = (f_v + yhat @ cv + (cv @ cv) / (2.0 * gamma)
+               + 0.5 * rho * (pv @ pv) - mu * bar)
         return jnp.where(ok, val, jnp.inf)
+
+    def al_value(v, v_ref, rho, yhat, gamma, mu):
+        return al_of(f_fn(v), c_fn(v), v, v_ref, rho, yhat, gamma, mu)
 
     def _kkt_parts(v, y, zl, zu):
         """Shared pieces of the KKT error (one gradient/constraint eval)."""
@@ -278,9 +352,12 @@ def solve(
         """KKT error of the *original* NLP at multiplier estimate y."""
         return _errors_at(_kkt_parts(v, y, zl, zu), mu)
 
+    in_phase1 = phase1 is not None
+
     def init_state():
+        p0 = p1 if in_phase1 else p2
         v = interior_push(v0)
-        mu = jnp.asarray(opts.mu_init, dtype)
+        mu = p0.mu_init.astype(dtype)
         dl = jnp.where(has_lb, v - lb, 1.0)
         du = jnp.where(has_ub, ub - v, 1.0)
         zl = jnp.where(has_lb, mu / dl, 0.0)
@@ -289,27 +366,40 @@ def solve(
         cv = c_fn(v)
         err, *_ = kkt_errors(v, yhat, zl, zu, 0.0)
         return ALMState(
-            v=v, v_ref=v, rho=rho0, yhat=yhat, y_ls=yhat, zl=zl, zu=zu, mu=mu,
-            gamma=jnp.asarray(opts.gamma_init, dtype),
+            v=v, v_ref=v, yhat=yhat, y_ls=yhat, zl=zl, zu=zu, mu=mu,
+            gamma=p0.gamma_init.astype(dtype),
             delta_w=jnp.zeros((), dtype),
             theta_ref=_inf_norm(cv),
             it=jnp.zeros((), jnp.int32),
-            converged=err <= opts.tol,
+            converged=(err <= p2.tol) & jnp.asarray(not in_phase1),
             kkt_err=err,
+            phase=jnp.asarray(0 if in_phase1 else 1, jnp.int32),
+            f_prev=f_fn(v),
+            slow=jnp.zeros((), jnp.int32),
+            n0=jnp.zeros((), jnp.int32),
         )
 
     def step(st: ALMState) -> ALMState:
+        # Per-lane effective runtime params (phase continuation).
+        if in_phase1:
+            ph0 = st.phase == 0
+            eff = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ph0, a, b), p1, p2)
+        else:
+            eff = p2
+        rho = eff.prox.astype(dtype)
+
         v, yhat, zl, zu = st.v, st.yhat, st.zl, st.zu
         mu, gamma = st.mu, st.gamma
         dl = jnp.where(has_lb, v - lb, 1.0)
         du = jnp.where(has_ub, ub - v, 1.0)
         sigma = jnp.where(has_lb, zl / dl, 0.0) + jnp.where(has_ub, zu / du, 0.0)
 
+        f_v = f_fn(v)
         cv = c_fn(v)
         y_al = yhat + cv / gamma
 
         # grad of AL_mu (with primal-dual barrier handled via sigma/rhs).
-        rho = st.rho
         g_al = (grad_lag(v, y_al)
                 + rho * (v - st.v_ref)
                 - jnp.where(has_lb, mu / dl, 0.0)
@@ -318,7 +408,7 @@ def solve(
         rhs_c = jnp.zeros(can.m, dtype)
 
         delta_w = st.delta_w
-        gamma_rows = row_s2.astype(dtype) * gamma
+        gamma_rows = jnp.broadcast_to(gamma, (can.m,)).astype(dtype)
         # The prox Hessian rho*I rides the same diagonal shift channel.
         dv, dw = kkt_solve(v, y_al, sigma, delta_w + rho, gamma_rows,
                            rhs_v, rhs_c, inst)
@@ -330,7 +420,7 @@ def solve(
         # test the direction itself rather than true-Hessian curvature.
         curv_ok = (g_al @ dv) < 0.0
 
-        tau = jnp.maximum(opts.tau_min, 1.0 - mu)
+        tau = jnp.maximum(eff.tau_min.astype(dtype), 1.0 - mu)
 
         def ftb(slack, dslack):
             ratio = jnp.where(dslack < 0, -tau * slack / jnp.where(dslack < 0, dslack, -1.0), 1.0)
@@ -342,12 +432,12 @@ def solve(
         )
 
         # Plain Armijo on the smooth AL merit, trials in parallel.
-        al0 = al_value(v, st.v_ref, rho, yhat, gamma, mu)
+        al0 = al_of(f_v, cv, v, st.v_ref, rho, yhat, gamma, mu)
         d_al = g_al @ dv
         alphas = a_max * (0.5 ** jnp.arange(opts.max_ls, dtype=dtype))
         al_vals = jax.vmap(
             lambda a: al_value(v + a * dv, st.v_ref, rho, yhat, gamma, mu))(alphas)
-        ok = al_vals <= al0 + opts.eta * alphas * d_al
+        ok = al_vals <= al0 + eff.eta.astype(dtype) * alphas * d_al
         any_ok = jnp.any(ok)
         alpha = jnp.where(any_ok, alphas[jnp.argmax(ok)], 0.0)
         # Sub-noise regime: when even the full step's predicted decrease is
@@ -373,8 +463,8 @@ def solve(
         delta_next = jnp.where(
             reject,
             jnp.minimum(delta_grown, opts.delta_w_max),
-            jnp.where(delta_w * opts.delta_decay < opts.delta_w_min, 0.0,
-                      delta_w * opts.delta_decay),
+            jnp.where(delta_w * eff.delta_decay.astype(dtype) < opts.delta_w_min,
+                      0.0, delta_w * eff.delta_decay.astype(dtype)),
         )
 
         v_n = v + alpha * dv
@@ -395,6 +485,7 @@ def solve(
         zu_n = jnp.where(has_ub, jnp.clip(zu_n, mu / (ks * du_n), ks * mu / du_n), 0.0)
 
         # ---- inner convergence test at the new point ----
+        f_n = f_fn(v_n)
         c_n = c_fn(v_n)
         y_n = yhat + c_n / gamma
         parts_n = _kkt_parts(v_n, y_n, zl_n, zu_n)
@@ -419,7 +510,7 @@ def solve(
             # Absorb the leftover into the bound duals where a bound is
             # (near-)active, capped so the scaled complementarity stays
             # below tol: any (y, z >= 0) is a valid KKT certificate.
-            cap = jnp.asarray(0.5 * opts.tol, dtype)
+            cap = 0.5 * eff.tol.astype(dtype)
             d_l = jnp.where(
                 has_lb,
                 jnp.clip(r_ls, -zl_n, jnp.maximum(cap / dl_n - zl_n, 0.0)),
@@ -450,7 +541,7 @@ def solve(
             y_ls = st.y_ls
             parts_ls = None
         inner_err = jnp.maximum(e_d_in, e_c_in)   # feasibility handled by outer
-        inner_done = inner_err <= opts.kappa_inner * mu
+        inner_done = inner_err <= eff.kappa_inner.astype(dtype) * mu
         if opts.stagnation_outer:
             # A tiny Newton direction from the (PD-regularized) system means
             # the inner problem is solved to working precision regardless of
@@ -469,9 +560,7 @@ def solve(
         # ---- outer updates, applied only when the inner problem is done ----
         # Multiplier update; shrink gamma unless feasibility improved enough.
         theta_now = th_in
-        feas_target = jnp.asarray(
-            opts.feas_tol if opts.feas_tol > 0 else opts.tol, dtype)
-        good_feas = theta_now <= 0.5 * st.theta_ref
+        feas_target = eff.feas_tol.astype(dtype)
         # Penalty policy: multiplier updates are the primary driver of
         # feasibility (theta ~ gamma * ||yhat - y*|| contracts per outer at
         # FIXED gamma); shrink gamma only when an outer update made almost
@@ -480,57 +569,82 @@ def solve(
         # condensed system turns ~1/gamma stiff (in float32 the objective
         # curvature is erased entirely, stalling tangential optimization),
         # and c/gamma amplifies feasibility noise into the duals.
-        stalled = (theta_now > 0.9 * st.theta_ref) | opts.gamma_eager
+        stalled = (theta_now > 0.9 * st.theta_ref) | (eff.gamma_eager > 0)
         need_feas = theta_now > feas_target
         gamma_n = jnp.where(
             inner_done & stalled & need_feas,
-            jnp.maximum(opts.gamma_min, gamma * opts.gamma_shrink), gamma)
+            jnp.maximum(eff.gamma_min.astype(dtype),
+                        gamma * eff.gamma_shrink.astype(dtype)), gamma)
         # Penalty relaxation: once feasibility beats the requirement by a
         # wide margin, a tighter gamma only adds stiffness.
         gamma_n = jnp.where(
             inner_done & (theta_now <= 0.02 * feas_target),
-            jnp.minimum(gamma_n * 2.0, opts.gamma_init), gamma_n)
-        mu_min = opts.mu_min if opts.mu_min > 0 else min(opts.tol / 10.0, opts.mu_init)
+            jnp.minimum(gamma_n * 2.0, eff.gamma_init.astype(dtype)), gamma_n)
         mu_n = jnp.where(
             inner_done,
-            jnp.maximum(mu_min, jnp.minimum(opts.mu_shrink * mu, mu ** opts.theta_mu)),
+            jnp.maximum(eff.mu_min.astype(dtype),
+                        jnp.minimum(eff.mu_shrink.astype(dtype) * mu,
+                                    mu ** eff.theta_mu.astype(dtype))),
             mu)
-        y_outer = y_ls if (opts.dual_refine_k > 0 and opts.dual_reset) else y_n
-        yhat_n = jnp.where(inner_done, y_outer, yhat)
+        yhat_n = jnp.where(inner_done, y_n, yhat)
         theta_ref_n = jnp.where(inner_done, theta_now, st.theta_ref)
         v_ref_n = jnp.where(inner_done, v_n, st.v_ref)
-        rho_n = jnp.where(
-            inner_done & ~need_feas,
-            jnp.maximum(jnp.asarray(opts.prox_min, dtype),
-                        rho * opts.prox_shrink), rho)
 
         err0, viol, *_ = _errors_at(parts_n, 0.0)
         if parts_ls is not None:
             err0_ls, _, _, _ = _errors_at(parts_ls, 0.0)
             err0 = jnp.minimum(err0, err0_ls)
-        conv = (err0 <= opts.tol) & (viol <= feas_target)
+        conv = (err0 <= eff.tol.astype(dtype)) & (viol <= feas_target) \
+            & (st.phase == 1)
+
+        # ---- phase-0 exit: cost-descent stall detection ----
+        if in_phase1:
+            rel_df = (st.f_prev - f_n) / jnp.maximum(jnp.abs(f_n), 1e-12)
+            is_slow = rel_df < phase1.exit_df.astype(dtype)
+            slow_n = jnp.where(
+                reject, st.slow,                        # rejected: no signal
+                jnp.where(is_slow, st.slow + 1, jnp.zeros((), jnp.int32)))
+            leave = (st.phase == 0) & (
+                (slow_n >= phase1.patience) | (st.it + 1 >= phase1.n_max))
+            # Switch to endgame: absorb the AL multiplier view, restart the
+            # barrier/penalty schedules, re-center prox and bound duals —
+            # exactly what a warm-started second solve would do.
+            mu2 = p2.mu_init.astype(dtype)
+            phase_n = jnp.where(leave, 1, st.phase).astype(jnp.int32)
+            yhat_n = jnp.where(leave, y_n, yhat_n)
+            mu_n = jnp.where(leave, mu2, mu_n)
+            gamma_n = jnp.where(leave, p2.gamma_init.astype(dtype), gamma_n)
+            v_ref_n = jnp.where(leave, v_n, v_ref_n)
+            theta_ref_n = jnp.where(leave, theta_now, theta_ref_n)
+            zl_n = jnp.where(leave & has_lb, mu2 / dl_n, zl_n)
+            zu_n = jnp.where(leave & has_ub, mu2 / du_n, zu_n)
+        else:
+            phase_n = st.phase
+            slow_n = st.slow
 
         if opts.verbose:
             jax.debug.print(
-                "it={it} mu={mu:.1e} gam={gam:.1e} err0={e:.3e} th={th:.3e} "
+                "it={it} ph={ph} mu={mu:.1e} gam={gam:.1e} err0={e:.3e} th={th:.3e} "
                 "in={inn:.2e} a={a:.2e} amax={am:.2e} dw={dw:.1e} f={f:.6e} "
-                "ok={ok} cv={cvt} outer={od} dal={dal:.2e} dAL0={d0:.3e} ndv={ndv:.1e}",
-                it=st.it, mu=mu, gam=gamma, e=err0, th=viol, inn=inner_err,
-                a=alpha, am=a_max, dw=delta_w, f=f_fn(v_n), ok=any_ok,
-                cvt=curv_ok, od=inner_done, dal=d_al, d0=al_vals[0]-al0, ndv=_inf_norm(dv))
+                "ok={ok} cv={cvt} outer={od} dal={dal:.2e}",
+                it=st.it, ph=st.phase, mu=mu, gam=gamma, e=err0, th=viol,
+                inn=inner_err, a=alpha, am=a_max, dw=delta_w, f=f_n, ok=any_ok,
+                cvt=curv_ok, od=inner_done, dal=d_al)
 
         new = ALMState(
-            v=v_n, v_ref=v_ref_n, rho=rho_n, yhat=yhat_n, y_ls=y_ls,
+            v=v_n, v_ref=v_ref_n, yhat=yhat_n, y_ls=y_ls,
             zl=zl_n, zu=zu_n, mu=mu_n, gamma=gamma_n,
             delta_w=delta_next, theta_ref=theta_ref_n, it=st.it + 1,
             converged=conv, kkt_err=err0,
+            phase=phase_n, f_prev=f_n, slow=slow_n,
+            n0=st.n0 + (st.phase == 0).astype(jnp.int32),
         )
         return jax.tree_util.tree_map(
             lambda a, b: jnp.where(st.converged, a, b),
             st._replace(it=st.it + 1), new)
 
     def cond(st: ALMState):
-        return (~st.converged) & (st.it < opts.max_iter)
+        return (~st.converged) & (st.it < p2.max_iter)
 
     # TPU matmuls default to bfloat16 passes; a Newton-KKT pipeline cannot
     # survive 8-bit mantissas.  "highest" forces true float32 MXU passes
@@ -542,7 +656,7 @@ def solve(
             def scan_step(st, _):
                 st_n = jax.lax.cond(cond(st), step, lambda s: s, st)
                 rec = (st_n.kkt_err, st_n.mu, st_n.gamma, st_n.delta_w,
-                       _inf_norm(c_fn(st_n.v)), f_fn(st_n.v))
+                       _inf_norm(c_fn(st_n.v)), st_n.f_prev)
                 return st_n, rec
             final, trace = jax.lax.scan(scan_step, init_state(), None,
                                         length=opts.max_iter)
@@ -555,5 +669,6 @@ def solve(
     return ALMResult(
         v=final.v, y=y_fin, zl=final.zl, zu=final.zu,
         f=f_fn(final.v), iterations=final.it, converged=final.converged,
-        kkt_err=final.kkt_err, constr_viol=viol, trace=trace,
+        kkt_err=final.kkt_err, constr_viol=viol,
+        phase1_iters=final.n0, trace=trace,
     )

@@ -232,7 +232,15 @@ def make_condensed_kkt(can: CanonicalNLP, refine: int = 2,
             L_border_cr = chol_unrolled(S_border)
 
         elif chain == "pallas":
-            pass  # rhs-coupled elimination happens inside solve_once
+            # Factor ONCE (border columns eliminated together — they are
+            # rhs-independent); every solve/refinement pass then runs only
+            # the O(n^2)-per-block rhs forward pass + back-substitution.
+            from tol_tpu.ops.chainkern import (chain_back_sub,
+                                               chain_eliminate,
+                                               chain_rhs_forward)
+            Dinv_p, t2p, tRw_p, Sw_p = chain_eliminate(M_chain, O_chain, Wc)
+            Sb_p = B0 - Sw_p
+            Lb_p = chol_unrolled(Sb_p)
 
         else:
             def factor_step(carry, inp):
@@ -277,18 +285,16 @@ def make_condensed_kkt(can: CanonicalNLP, refine: int = 2,
             rB = jnp.concatenate([rz[0], jnp.reshape(r_dt_c, (1,)), r_s_c])
 
             if chain == "pallas":
-                from tol_tpu.ops.chainkern import (chain_back_sub,
-                                                   chain_eliminate)
-                R = jnp.concatenate([Wc, rz[1:][:, :, None]], axis=2)
-                _, t2p, tRp, S = chain_eliminate(M_chain, O_chain, R)
-                Sb = B0 - S[:nB, :nB]
-                rB_acc = rB - S[:nB, nB]
-                Lb = chol_unrolled(Sb)
-                yb_ = tri_solve_unrolled(Lb, rB_acc[..., None], lower=True)
-                d_beta = tri_solve_unrolled(Lb, yb_, lower=True,
+                tr_p, sb_r = chain_rhs_forward(Dinv_p, O_chain, tRw_p,
+                                               rz[1:])
+                rB_acc = rB - sb_r
+                yb_ = tri_solve_unrolled(Lb_p, rB_acc[..., None], lower=True)
+                d_beta = tri_solve_unrolled(Lb_p, yb_, lower=True,
                                             trans=True)[..., 0]
                 coef = jnp.concatenate([-d_beta, jnp.ones((1,), dtype)])
-                dZ_chain = chain_back_sub(tRp, t2p, coef)
+                dZ_chain = chain_back_sub(
+                    jnp.concatenate([tRw_p, tr_p[:, :, None]], axis=2),
+                    t2p, coef)
             elif chain == "cr":
                 Yr = cr_solve(fac, rz[1:][..., None])[..., 0]   # Mtri^-1 r
                 rB_acc = rB - jnp.sum(bmv_t(Wc, Yr), axis=0)
