@@ -84,7 +84,10 @@ def main():
         "vs_baseline": round(eff / 0.8, 3),   # target >= 80% linear
         "detail": {
             "platform": jax.devices()[0].platform,
-            "virtual_devices": os.environ.get("JAX_PLATFORMS") == "cpu",
+            # virtual = host-platform devices sharing one CPU (the env var
+            # is unreliable here: the axon site pre-imports jax, so the
+            # platform is whatever jax.config actually selected).
+            "virtual_devices": jax.devices()[0].platform == "cpu",
             "ts": ts, "batch_per_device": per_dev,
             "solves_per_s": {str(k): round(v, 2) for k, v in rates.items()},
         },

@@ -87,3 +87,21 @@ with jax.default_matmul_precision("highest"):
         bench_fn(f"kkt_{chain}_refine{refine}",
                  jax.vmap(one), v0s, y0s, sig)
 print("done")
+
+# ---- spike backend ----
+with jax.default_matmul_precision("highest"):
+    for L in [5, 10, 20]:
+        import importlib
+        import tol_tpu.ops.spike as spk
+        importlib.reload(spk)
+
+        def one_spike(v, y, s, L=L):
+            kkt2 = make_condensed_kkt(can, refine=1, chain="spike")
+            rhs_v = jnp.ones(can.n, dtype)
+            rhs_c = jnp.zeros(can.m, dtype)
+            dv, dy = kkt2(v, y, s, jnp.asarray(1e-4, dtype),
+                          jnp.asarray(0.01, dtype), rhs_v, rhs_c, inst)
+            return dv
+
+        bench_fn(f"kkt_spike_L{L}_refine1", jax.vmap(one_spike), v0s, y0s, sig)
+        break

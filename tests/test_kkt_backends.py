@@ -135,3 +135,25 @@ def test_cyclic_reduction_matches_dense(mission, ts):
     np.testing.assert_allclose(np.asarray(dv_s), np.asarray(dv_d), atol=1e-9 * scale)
     yscale = max(1.0, float(jnp.max(jnp.abs(dy_d))))
     np.testing.assert_allclose(np.asarray(dy_s), np.asarray(dy_d), atol=1e-8 * yscale)
+
+
+@pytest.mark.parametrize("mission,ts", [("S10", 8), ("G7", 8), ("S10", 16),
+                                        ("S10", 13)])
+def test_spike_matches_dense(mission, ts):
+    """chain="spike" (partitioned/SPIKE elimination, ops/spike.py: parallel
+    segment interiors + cyclic-reduction separator chain) solves the
+    identical saddle system, including horizons that need identity-block
+    padding to a multiple of the segment length."""
+    nlp = make_problem(mission, aircraft="tempest", ts=ts, wind_model=1)
+    can = canonicalize(nlp)
+    dense = make_dense_kkt(can)
+    sp = make_condensed_kkt(can, chain="spike")
+    v, y, sigma, rhs_v, rhs_c = _state(can)
+    dw = 300.0
+    dc = jnp.full((can.m,), 0.05)
+    dv_d, dy_d = dense(v, y, sigma, dw, dc, rhs_v, rhs_c)
+    dv_s, dy_s = sp(v, y, sigma, dw, dc, rhs_v, rhs_c)
+    scale = max(1.0, float(jnp.max(jnp.abs(dv_d))))
+    np.testing.assert_allclose(np.asarray(dv_s), np.asarray(dv_d), atol=1e-9 * scale)
+    yscale = max(1.0, float(jnp.max(jnp.abs(dy_d))))
+    np.testing.assert_allclose(np.asarray(dy_s), np.asarray(dy_d), atol=1e-8 * yscale)

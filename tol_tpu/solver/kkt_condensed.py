@@ -223,11 +223,29 @@ def make_condensed_kkt(can: CanonicalNLP, refine: int = 2,
         M_chain = M[1:]
         O_chain = jnp.concatenate([O[1:], jnp.zeros((1, NV, NV), dtype=dtype)])
 
-        if chain == "cr":
-            fac = cr_factor(M_chain, O_chain)
+        if chain in ("cr", "crp", "spike"):
+            if chain == "cr":
+                fac = cr_factor(M_chain, O_chain)
+                tri_solve_chain = cr_solve
+            elif chain == "crp":
+                from tol_tpu.ops.crkern import (crp_factor, crp_pad_rhs,
+                                                crp_solve)
+                n_pad = 1
+                while n_pad < T:
+                    n_pad *= 2
+                fac_levels, fac_root = crp_factor(M_chain, O_chain)
+                fac = None
+
+                def tri_solve_chain(_, F):
+                    return crp_solve(fac_levels, fac_root,
+                                     crp_pad_rhs(F, n_pad))[:T]
+            else:
+                from tol_tpu.ops.spike import spike_factor, spike_solve
+                fac = spike_factor(M_chain, O_chain)
+                tri_solve_chain = spike_solve
             # Border columns are rhs-independent: solve them once; the
             # Schur complement is S = B0 - W^T Mtri^{-1} W.
-            YW = cr_solve(fac, Wc)                        # (T, NV, nB)
+            YW = tri_solve_chain(fac, Wc)                 # (T, NV, nB)
             S_border = B0 - jnp.sum(bmm_tn(Wc, YW), axis=0)
             L_border_cr = chol_unrolled(S_border)
 
@@ -295,8 +313,8 @@ def make_condensed_kkt(can: CanonicalNLP, refine: int = 2,
                 dZ_chain = chain_back_sub(
                     jnp.concatenate([tRw_p, tr_p[:, :, None]], axis=2),
                     t2p, coef)
-            elif chain == "cr":
-                Yr = cr_solve(fac, rz[1:][..., None])[..., 0]   # Mtri^-1 r
+            elif chain in ("cr", "crp", "spike"):
+                Yr = tri_solve_chain(fac, rz[1:][..., None])[..., 0]
                 rB_acc = rB - jnp.sum(bmv_t(Wc, Yr), axis=0)
                 yb_ = tri_solve_unrolled(L_border_cr, rB_acc[..., None],
                                          lower=True)
