@@ -75,10 +75,13 @@ p_dive = params(tol=1e-12, feas_tol=1e-12, prox=0.0, gamma_eager=0.0,
 p_end = params(tol=float(e("TOL", "5e-3")), feas_tol=float(e("FEAS", "1e-4")),
                prox=float(e("PROX", "3e-3")),
                max_iter=int(e("MAXIT2", "310")))
+p_dive_fine = params(tol=1e-12, feas_tol=1e-12, prox=0.0, gamma_eager=0.0,
+                     max_iter=int(e("MAXIT2", "310")))
 zero32 = jnp.asarray(0, jnp.int32)
 ph_off1 = Phase1(params=p_dive, n_max=jnp.asarray(10 ** 9, jnp.int32),
                  exit_df=jnp.asarray(-1.0, dtype), patience=3)
-ph_off2 = Phase1(params=p_end, n_max=zero32,
+ph_off2 = Phase1(params=p_end,
+                 n_max=jnp.asarray(int(e("N1FINE", "0")), jnp.int32),
                  exit_df=jnp.asarray(-1.0, dtype), patience=3)
 
 v0 = can1.initial_point()
@@ -95,10 +98,10 @@ def dive(v0s, p):
 
 
 @jax.jit
-def endgame(v0s, y0s, p):
+def endgame(v0s, y0s, p, p1f, n1f):
+    ph = Phase1(params=p1f, n_max=n1f, exit_df=ph_off2.exit_df, patience=3)
     return jax.vmap(lambda v, y: alm_solve(can2, kkt2, opts, v0=v, y0=y,
-                                           params=p, phase1=ph_off2))(v0s,
-                                                                      y0s)
+                                           params=p, phase1=ph))(v0s, y0s)
 
 
 def prolong(v_coarse):
@@ -134,13 +137,13 @@ vf = jnp.where(fx2[None], lb2[None], vf)
 y0s = jnp.zeros((B, can2.m), dtype)
 
 t0 = time.time()
-r2 = endgame(vf, y0s, p_end)
+r2 = endgame(vf, y0s, p_end, p_dive_fine, ph_off2.n_max)
 jax.block_until_ready(r2.f)
 compile2 = time.time() - t0
 t0 = time.time()
 vf2 = jnp.clip(prolong(r1.v), lb2[None], ub2[None])
 vf2 = jnp.where(fx2[None], lb2[None], vf2)
-r2 = endgame(vf2, y0s, p_end)
+r2 = endgame(vf2, y0s, p_end, p_dive_fine, ph_off2.n_max)
 jax.block_until_ready(r2.f)
 wall2 = time.time() - t0
 

@@ -59,7 +59,8 @@ def params(**kw):
                      max_iter=jnp.asarray(mi, jnp.int32))
 
 
-p2 = params(tol=float(e("TOL", "5e-3")), feas_tol=float(e("FEAS", "1e-4")),
+p2 = params(gamma_min=float(e("GAMMIN", "1e-6")),
+            tol=float(e("TOL", "5e-3")), feas_tol=float(e("FEAS", "1e-4")),
             prox=float(e("PROX", "3e-3")), mu_init=float(e("MUINIT", "1e-5")),
             mu_shrink=float(e("MUSHRINK", "0.1")),
             gamma_init=float(e("GAMINIT", "0.01")),
@@ -128,4 +129,21 @@ if trace:
         print(f"it {i:3d} med_f={np.median(f_tr[:, i]):+.5e} "
               f"med_kkt={np.median(kkt_tr[:, i]):.2e} "
               f"med_viol={np.median(viol_tr[:, i]):.2e} "
-              f"med_dw={np.median(dw_tr[:, i]):.1e}")
+              f"med_dw={np.median(dw_tr[:, i]):.1e} "
+              f"med_gam={np.median(gam_tr[:, i]):.1e} "
+              f"med_mu={np.median(mu_tr[:, i]):.1e}")
+
+if os.environ.get("ROWDIAG", "0") == "1":
+    cfun = jax.jit(jax.vmap(lambda v: can.c(v, can.nlp.inst0)))
+    C = np.asarray(cfun(out.v))
+    NS = 8
+    med = np.median(np.max(np.abs(C), axis=1))
+    lane = int(np.argsort(np.max(np.abs(C), axis=1))[B // 2])
+    c = C[lane]
+    ii = np.argsort(-np.abs(c))[:8]
+    print(f"median lane {lane} worst rows:")
+    for i in ii:
+        if i < NS * ts:
+            print(f"  defect node {i // NS} state {i % NS}: {c[i]:+.3e}")
+        else:
+            print(f"  boundary row {i - NS * ts}: {c[i]:+.3e}")

@@ -101,15 +101,38 @@ def test_bounds_layout():
 
 
 def test_g7_boundary_rows():
+    """Displacement-direction rows in the well-conditioned (perp, along)
+    form — same feasible set as the reference pair dx-dist*cos /
+    dy-dist*sin (src/problemG7.cpp:258-265), but with unit-norm position
+    gradients everywhere (the reference pair's Jacobian is the projector
+    I - u u^T, rank-deficient along the course — see problems/g7.py)."""
     nlp = make_problem("G7", ts=10)
     assert nlp.nb == 12
-    assert list(nlp.boundary_is_ineq) == [False] * 11 + [True]
+    assert list(nlp.boundary_is_ineq) == \
+        [False, True] + [False] * 9 + [True]
     Z, dt = nlp.seed()
     b = np.asarray(nlp.boundary(Z[0], Z[-1], dt))
-    # Seed travels exactly along chi_d: rows 0,1 vanish; dist-dmax = 40-400.
+    # Seed travels exactly along chi_d: perp row vanishes, along row is
+    # -dist (strictly feasible); dist-dmax = 40-400.
     np.testing.assert_allclose(b[0], 0.0, atol=1e-7)
-    np.testing.assert_allclose(b[1], 0.0, atol=1e-7)
+    assert b[1] == pytest.approx(-40.0, rel=1e-6)
     assert b[-1] == pytest.approx(40.0 - 400.0, rel=1e-6)
+    # Equivalence with the reference pair on AND off the feasible set:
+    # reference rows == 0  <=>  (perp == 0 and along >= 0).
+    chi_d = float(np.arctan2(400.0, 0.0)) if False else None
+    z0 = np.asarray(Z[0], float)
+    for d_vec, feasible in [((0.0, 30.0), True),     # along course (chi_d=pi/2)
+                            ((5.0, 30.0), False),    # off-course
+                            ((0.0, -30.0), False)]:  # anti-parallel
+        zT = np.asarray(Z[-1], float).copy()
+        zT[0] = z0[0] + d_vec[0]
+        zT[1] = z0[1] + d_vec[1]
+        bb = np.asarray(nlp.boundary(jnp.asarray(z0), jnp.asarray(zT), dt))
+        dist = np.hypot(*d_vec)
+        ref_pair_zero = (abs(d_vec[0] - 0.0 * dist) < 1e-9
+                         and abs(d_vec[1] - 1.0 * dist) < 1e-9)
+        ours_ok = abs(bb[0]) < 1e-5 and bb[1] <= 1e-5
+        assert ours_ok == ref_pair_zero == feasible
 
 
 def test_reference_jacobian_mode_freezes_wind():

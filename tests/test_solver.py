@@ -126,3 +126,29 @@ def test_golden_flat_manifold():
     assert w.min() > -1e-2
     # ... and the flat subspace is large.
     assert int((np.abs(w) < 1e-3).sum()) > 100
+
+
+@pytest.mark.slow
+def test_g7_ts100_float32_converges():
+    """G7-Skywalker at the reference horizon (ts=100,
+    problems/G7/snopt.param:2) converges in float32 with the production
+    configuration (crp unavailable off-TPU at batch 1; cr is the same
+    elimination order).  Round-2 state of this problem was 0/256
+    converged with median KKT 1.99; the fixes were (a) boundary-row
+    scaling at a perturbed seed, (b) the non-degenerate (perp, along)
+    displacement rows, (c) the KKT-driven gamma policy with floor 5e-6.
+    """
+    from tol_tpu.solver.kkt_condensed import make_condensed_kkt
+
+    nlp = make_problem("G7", aircraft="skywalker", ts=100, wind_model=1,
+                       dtype=jnp.float32)
+    can = canonicalize(nlp, scaling="auto")
+    kkt = make_condensed_kkt(can, refine=1, chain="cr")
+    opts = ALMOptions(tol=5e-3, feas_tol=1e-4, max_iter=600,
+                      gamma_init=0.01, gamma_min=5e-6, mu_init=1e-5,
+                      mu_shrink=0.1, prox=1e-3, dual_refine_k=4,
+                      gamma_eager=True, gamma_shrink=0.2)
+    res = alm_solve(can, kkt, opts)
+    assert bool(res.converged), (float(res.kkt_err), float(res.constr_viol))
+    assert float(res.constr_viol) < 1e-4
+    assert float(res.kkt_err) < 5e-3

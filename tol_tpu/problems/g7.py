@@ -47,18 +47,42 @@ def make(cfg: ProblemConfig, dtype):
         return inst.gains.kv * ts * dt / _dist(z0, zT)
 
     def boundary(z0, zT, dt, inst):
+        """12 boundary rows; displacement-direction constraint reformulated.
+
+        The reference writes the "net displacement along the desired
+        course" condition as the PAIR  [dx - dist*cos(chi_d),
+        dy - dist*sin(chi_d)]  (src/problemG7.cpp:258-265).  That pair is
+        structurally rank-deficient: its Jacobian is the projector
+        (I - u u^T) onto the course-perpendicular direction, so the
+        along-course combination is in the nullspace everywhere on the
+        feasible set.  SNOPT's elastic mode tolerates this; a float32
+        first-order multiplier update does not — the degenerate row's
+        multiplier crawls and the measured violation floor sits right at
+        the 1e-4 working feasibility tolerance (observed on ts=100).
+
+        Equivalent well-conditioned form of the same feasible set
+        { displacement parallel to course, non-negative along it }:
+            row 0 (eq):    -dx sin(chi_d) + dy cos(chi_d) = 0   (perp)
+            row 1 (<= 0):  -(dx cos(chi_d) + dy sin(chi_d))     (along >= 0)
+        Both rows have unit-norm position gradients everywhere.  Together
+        with perp = 0, along >= 0 implies dist = along, so row 11's
+        dist <= dmax keeps its reference meaning (src/problem.cpp:345-350).
+        """
         chi_d = _chi_d(inst)
+        dx = zT[0] - z0[0]
+        dy = zT[1] - z0[1]
         dist = _dist(z0, zT)
         dmax = jnp.sqrt((inst.goal.xg - z0[0]) ** 2 + (inst.goal.yg - z0[1]) ** 2)
         rows = [
-            zT[0] - z0[0] - dist * jnp.cos(chi_d),
-            zT[1] - z0[1] - dist * jnp.sin(chi_d),
+            -dx * jnp.sin(chi_d) + dy * jnp.cos(chi_d),
+            -(dx * jnp.cos(chi_d) + dy * jnp.sin(chi_d)),
         ]
         rows += [zT[k] - z0[k] for k in range(2, NUM_VARS)]
         rows.append(dist - dmax)
         return jnp.stack(rows)
 
     is_ineq = np.zeros(NUM_VARS + 1, dtype=bool)
+    is_ineq[1] = True   # along-course displacement >= 0
     is_ineq[-1] = True  # dist <= dmax (src/problem.cpp:345-350)
 
     def seed(inst):

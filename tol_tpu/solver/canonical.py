@@ -79,10 +79,23 @@ def default_scaling(nlp: CollocationNLP, dtype=None) -> Scaling:
     d_dt = (0.5 * (jnp.asarray(inst.dt_lo, dtype) + jnp.asarray(inst.dt_hi, dtype)))
     # Boundary rows: norm of the scaled Jacobian row at the seed point
     # (row units vary per mission: meters for position/periodicity rows,
-    # radians for angle rows, meters for G7's dist row).
+    # radians for angle rows, meters for G7's dist row).  The norms are
+    # evaluated at a deterministically PERTURBED seed: at the exact seed a
+    # row can be directionally degenerate — e.g. G7's y-displacement row
+    # zT[1]-z0[1]-dist*sin(chi_d) has zero gradient when the seed path is
+    # exactly along the desired course — and a near-zero norm here would
+    # amplify that row ~100x (the clip floor), pushing its float32
+    # evaluation noise above the feasibility tolerance (measured: G7 ts=100
+    # f32 infeasibility floor ~4e-4 with the degenerate scale, fixed by
+    # the perturbation).
     Z0, dt0 = nlp.seed_fn(inst)
+    key = jax.random.PRNGKey(0)
+    k0, kT, kdt = jax.random.split(key, 3)
+    z0p = Z0[0] + 0.1 * d_z * jax.random.normal(k0, (d_z.shape[0],), dtype)
+    zTp = Z0[-1] + 0.1 * d_z * jax.random.normal(kT, (d_z.shape[0],), dtype)
+    dtp = dt0 * (1.0 + 0.05 * jax.random.normal(kdt, (), dtype))
     G0, GT, Gdt = jax.jacfwd(nlp.boundary_fn, argnums=(0, 1, 2))(
-        Z0[0], Z0[-1], dt0, inst)
+        z0p, zTp, dtp, inst)
     row = jnp.sqrt((G0 * d_z[None, :]) ** 2 @ jnp.ones(d_z.shape[0], dtype)
                    + (GT * d_z[None, :]) ** 2 @ jnp.ones(d_z.shape[0], dtype)
                    + (Gdt * d_dt) ** 2)
