@@ -18,25 +18,34 @@ converged (KKT 1e-8) oracle point has ~200 eigenvalues within +-1e-3 of
 zero out of 297 null-space directions (measured; see
 tests/test_solver.py::test_golden_flat_manifold).  Any two exact solvers
 (SNOPT included) land at different points on that manifold, so pointwise
-control L2 between solvers is unbounded below only by solver-path
-accidents; on a flat manifold the meaningful optimality metric is the
-cost gap + feasibility.  Control L2 vs the oracle is still reported in
-the detail block.
+control L2 between solvers reflects solver-path accidents; on a flat
+manifold the meaningful optimality metric is cost gap + feasibility.
+This is also how the BASELINE's "control-sequence error" metric is
+interpreted throughout (see BASELINE.md); control L2 vs the oracle is
+still reported in the detail block.
 
-How hard the cost gate is (external referee): the golden itself is this
-repo's f64 solve at KKT 1e-8, reached only after ~1500 Newton iterations
-through a shallow energy-exchange valley; scipy's trust-constr (sparse
-SQP, f64) started from the same seed stalls 17.6% ABOVE that cost after
-3000 iterations / 835 s (scratch/oracle_tc.py, cross-checked in
-tests/test_external_oracle.py).  The two-phase continuation below gets
-the f32 TPU solves within the 1e-2 gate in ~150 iterations.
+Solver: ONE compiled while-loop program per mission (runtime ALMParams;
+the exploration -> endgame continuation runs in-loop with a per-lane
+phase flag), cyclic-reduction-ordered Pallas chain ("crp") — the low-
+depth elimination order is what preserves the Newton direction's flat-
+valley components in float32 (sequential orderings plateau ~40% above
+the optimality gate; see tol_tpu/ops/crkern.py).
 
-Additional reported configs: warm-started replanning latency
-(BENCH_REPLAN, BASELINE config 4) and G7-Skywalker ts=100 (BENCH_G7,
-BASELINE config 2).  Scaling efficiency is a separate bench_scaling.py.
+Configs (BASELINE.json):
+  1. S10-Tempest ts=100, batch 1024      -> the headline gate
+  2. G7-Skywalker ts=100, batch 256      -> converged count (the G7 gate
+     is convergence at working tolerances; no external golden exists)
+  3. Multi-airframe sweep (tempest, tempest_eric, tempest_wences,
+     tempest_will x 256) — reuses config 1's compiled program (instances
+     are runtime data)
+  4. Warm-started replanning through the mission layer
+     (Mission/default_leg_solver: goal-shifted G7 legs with stitch
+     bounds, warm primal/dual; the reference's receding-horizon loop,
+     msl/mission.py:122-138)
+  5. Storm-grid S10 (wind model 3, trilinear TOLWGRID field), batch 256
 
 Runs on whatever accelerator JAX selects (the driver provides one TPU
-chip); float32 on TPU with the nondimensionalized condensed-KKT ALM.
+chip); float32 on TPU.
 """
 
 import json
@@ -48,200 +57,312 @@ import jax.numpy as jnp
 import numpy as np
 
 # Persistent XLA compilation cache: the solver while-loops compile through
-# a remote helper in minutes; caching them on disk makes every rerun of
-# this bench (same shapes/flags) start in seconds instead.
+# a remote helper in minutes; caching them on disk makes reruns of this
+# bench (same program structure) start in seconds instead.
 from tol_tpu.utils.cache import enable_compile_cache  # noqa: E402
 
 enable_compile_cache()
 
 
+def _params(dtype, **kw):
+    from tol_tpu.solver.alm import ALMParams
+
+    base = dict(tol=5e-3, feas_tol=1e-4, mu_init=1e-5, mu_min=0.0,
+                mu_shrink=0.1, theta_mu=1.2, gamma_init=0.01, gamma_min=1e-6,
+                gamma_shrink=0.2, prox=3e-3, eta=1e-4, tau_min=0.99,
+                kappa_inner=1.0, delta_decay=0.2, gamma_eager=1.0,
+                max_iter=400)
+    base.update(kw)
+    if base["mu_min"] == 0.0:
+        base["mu_min"] = min(base["tol"] / 10.0, base["mu_init"])
+    mi = base.pop("max_iter")
+    return ALMParams(**{k: jnp.asarray(v, dtype) for k, v in base.items()},
+                     max_iter=jnp.asarray(mi, jnp.int32))
+
+
+def _stack_instances(insts):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *insts)
+
+
 def main():
     ts = int(os.environ.get("BENCH_TS", "100"))
     batch = int(os.environ.get("BENCH_BATCH", "1024"))
-    max_iter = int(os.environ.get("BENCH_MAX_ITER", "80"))
+    chain = os.environ.get("BENCH_CHAIN", "crp")
     refine = int(os.environ.get("BENCH_REFINE", "1"))
-    # SNOPT-comparable working tolerances (the reference runs S10 at
-    # opt_tol 1e-3 / feas_tol 1e-5, problems/S10/snopt.param:6-7); float32
-    # feasibility is gated at 1e-4 in scaled units.
+    dual_k = int(os.environ.get("BENCH_DUALK", "4"))
+    # Runtime iteration budget: the gate pass-rate/wall trade-off.  250
+    # keeps ~94% of lanes under the gate (measured); the continuation's
+    # phase-1 budget is 90 of those.
+    max_iter = int(os.environ.get("BENCH_MAX_ITER", "250"))
+    n1 = int(os.environ.get("BENCH_N1", "90"))
     tol = float(os.environ.get("BENCH_TOL", "5e-3"))
     feas = float(os.environ.get("BENCH_FEAS", "1e-4"))
     cost_gap_gate = float(os.environ.get("BENCH_COST_GAP", "1e-2"))
 
-    from tol_tpu.api import make_problem
+    from tol_tpu.api import make_config, make_problem
+    from tol_tpu.models.wind import WindConfig
+    from tol_tpu.problems.base import make_instance
     from tol_tpu.solver import canonicalize
-    from tol_tpu.solver.alm import ALMOptions, solve as alm_solve
+    from tol_tpu.solver.alm import ALMOptions, Phase1, solve as alm_solve
     from tol_tpu.solver.kkt_condensed import make_condensed_kkt
 
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    opts = ALMOptions(max_iter=2000, dual_refine_k=dual_k)
+    compile_s = {}
 
+    # ================= config 1: S10-Tempest flagship =================
     nlp = make_problem("S10", aircraft="tempest", ts=ts, wind_model=1,
                        dtype=dtype)
     can = canonicalize(nlp, scaling="auto")
-    chain = os.environ.get("BENCH_CHAIN", "cr")
     kkt = make_condensed_kkt(can, refine=refine, chain=chain)
-    prox = float(os.environ.get("BENCH_PROX", "3e-3"))
-    opts = ALMOptions(tol=tol, feas_tol=feas, max_iter=max_iter,
-                      gamma_init=0.01, mu_init=1e-5, mu_shrink=0.1,
-                      prox=prox, gamma_shrink=0.2, gamma_eager=True,
-                      dual_refine_k=int(os.environ.get("BENCH_DUALK", "4")))
 
-    # Two-phase continuation (default): the S10 optimum sits at the end of
-    # a long shallow energy-exchange valley (the f64 oracle walks it for
-    # ~800 Newton iterations; scipy trust-constr after 3000 sparse-SQP
-    # iterations is still 17.6% above it — see scratch/oracle_tc.py).
-    # Phase 1 runs the AL with loose feasibility (no prox, no convergence
-    # checks, cheap pallas chain without refinement): the cost dives
-    # through the valley on the infeasible side.  Phase 2 is the
-    # production endgame (cr chain + saddle refinement + dual-refined
-    # certificates) pulling back to feasibility inside the right basin.
-    two_phase = os.environ.get("BENCH_TWO_PHASE", "1") == "1"
-    n1 = int(os.environ.get("BENCH_N1", "90"))
-    chain1 = os.environ.get("BENCH_CHAIN1", "pallas")
-    if two_phase:
-        kkt1 = make_condensed_kkt(can, refine=0, chain=chain1)
-        opts1 = ALMOptions(tol=1e-12, feas_tol=1e-12, max_iter=n1,
-                           gamma_init=0.01, mu_init=1e-5, mu_shrink=0.1,
-                           prox=0.0, dual_refine_k=0)
+    p2 = _params(dtype, tol=tol, feas_tol=feas, max_iter=max_iter)
+    p1 = _params(dtype, tol=1e-12, feas_tol=1e-12, prox=0.0,
+                 gamma_eager=0.0, max_iter=max_iter)
+    ph_n = jnp.asarray(n1, jnp.int32)
+    ph_df = jnp.asarray(-1.0, dtype)   # fixed-length dive (measured best)
 
-        def solve_one(v):
-            r1 = alm_solve(can, kkt1, opts1, v0=v)
-            return alm_solve(can, kkt, opts, v0=r1.v, y0=r1.y)
-    else:
-        solve_one = lambda v: alm_solve(can, kkt, opts, v0=v)
+    @jax.jit
+    def run_s10(insts, v0s, p1, p2, n_max, exit_df):
+        ph = Phase1(params=p1, n_max=n_max, exit_df=exit_df, patience=3)
+        return jax.vmap(lambda i, v: alm_solve(can, kkt, opts, inst=i,
+                                               v0=v, params=p2,
+                                               phase1=ph))(insts, v0s)
 
-    # Batch over perturbed initial conditions (Monte-Carlo style): same
-    # mission family, different seeds.
-    v0 = can.initial_point()
-    key = jax.random.PRNGKey(0)
-    dv = 0.01 * jax.random.normal(key, (batch, can.n), dtype=dtype)
-    lb, ub, fixed = can.bounds(can.nlp.inst0)
-    v0s = jnp.clip(v0[None, :] + dv, lb[None, :], ub[None, :])
-    v0s = jnp.where(fixed[None, :], lb[None, :], v0s)
+    def seeds_for(insts, key, n):
+        v0 = jax.vmap(can.initial_point)(insts)
+        lb, ub, fixed = jax.vmap(can.bounds)(insts)
+        dv = 0.01 * jax.random.normal(key, (n, can.n), dtype=dtype)
+        v0s = jnp.clip(v0 + dv, lb, ub)
+        return jnp.where(fixed, lb, v0s)
 
-    run = jax.jit(jax.vmap(solve_one))
+    inst1 = _stack_instances([can.nlp.inst0] * batch)
+    v0s = seeds_for(inst1, jax.random.PRNGKey(0), batch)
 
     t0 = time.time()
-    out = run(v0s)
+    out = run_s10(inst1, v0s, p1, p2, ph_n, ph_df)
     jax.block_until_ready(out.f)
-    compile_and_first = time.time() - t0
-
+    compile_s["s10"] = round(time.time() - t0, 1)
     t0 = time.time()
-    out = run(v0s)
+    out = run_s10(inst1, v0s, p1, p2, ph_n, ph_df)
     jax.block_until_ready(out.f)
     elapsed = time.time() - t0
+    compile_s["s10"] = round(compile_s["s10"] - elapsed, 1)
 
     conv = np.asarray(out.converged)
     viol = np.asarray(out.constr_viol)
-    kkt_err = np.asarray(out.kkt_err)
+    iters = np.asarray(out.iterations)
 
-    # Optimality gate: relative cost gap vs the float64 oracle; control L2
-    # reported informationally (see module docstring on manifold flatness).
-    ctrl_l2 = None
     cost_gap = None
+    ctrl_l2 = None
     golden_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "tests", "golden_s10_ts100.npy")
     if ts == 100 and os.path.exists(golden_path):
         golden = np.load(golden_path)
-        T = ts
         NV = 11
-        Zg = golden[1:1 + (T + 1) * NV].reshape(T + 1, NV)
+        Zg = golden[1:1 + (ts + 1) * NV].reshape(ts + 1, NV)
         f_star = float(can.f(can.from_physical(jnp.asarray(golden, dtype)),
                              can.nlp.inst0))
         cost_gap = (np.asarray(out.f, np.float64) - f_star) / max(abs(f_star), 1e-9)
         v_phys = np.asarray(jax.vmap(can.to_physical)(out.v))
-        Z = v_phys[:, 1:1 + (T + 1) * NV].reshape(batch, T + 1, NV)
-        # Controls: phi, CL, dphi, dCL, T (indices 6..10); normalized per
-        # channel by max(oracle RMS, physical unit scale) so channels that
-        # are ~0 at the optimum (e.g. dphi) don't blow up the metric.
+        Z = v_phys[:, 1:1 + (ts + 1) * NV].reshape(batch, ts + 1, NV)
         ctl = Z[:, :, 6:11]
-        ctl_g = Zg[None, :, 6:11]
         unit = np.asarray(can.scaling.d_z)[6:11]
         rms = np.maximum(np.sqrt(np.mean(Zg[:, 6:11] ** 2, axis=0)), unit)
-        ctrl_l2 = np.sqrt(np.mean(((ctl - ctl_g) / rms) ** 2, axis=(1, 2)))
+        ctrl_l2 = np.sqrt(np.mean(
+            ((ctl - Zg[None, :, 6:11]) / rms) ** 2, axis=(1, 2)))
 
     feas_ok = viol < feas
     if cost_gap is not None:
-        # A solve on the flat manifold may legitimately land *below* the
-        # oracle cost while feasible to tolerance; gate one-sided.  A
-        # counted solve must ALSO carry a KKT certificate (converged).
+        # One-sided gate: a flat-manifold solve may legitimately land
+        # below the oracle cost.  A counted solve must ALSO carry a KKT
+        # certificate (converged).
         ok = conv & feas_ok & (cost_gap < cost_gap_gate)
     else:
         ok = conv & feas_ok
     n_ok = int(np.sum(ok))
     solves_per_s = n_ok / elapsed if elapsed > 0 else 0.0
 
-    # ---- warm-start replanning latency (BASELINE config 4) ----
-    # One aircraft replans one leg: batch-1 endgame solve warm-started
-    # from the previous solution (primal + duals) after a small state
-    # perturbation — the receding-horizon production path
-    # (mission/mission.py solve_leg warm start).
-    replan_p50_ms = None
-    replan_iters = None
-    if os.environ.get("BENCH_REPLAN", "1") == "1" and batch > 0:
-        i_best = int(np.argmin(viol))
-        v_warm = out.v[i_best]
-        y_warm = out.y[i_best]
-        kkt_r = make_condensed_kkt(can, refine=refine, chain="cr")
-        opts_r = ALMOptions(tol=tol, feas_tol=feas, max_iter=max_iter,
-                            gamma_init=0.01, mu_init=1e-5, mu_shrink=0.1,
-                            prox=prox, gamma_shrink=0.2, gamma_eager=True,
-                            dual_refine_k=4)
+    # ================= config 3: multi-airframe sweep =================
+    sweep = None
+    if os.environ.get("BENCH_SWEEP", "1") == "1" and batch % 4 == 0:
+        names = ["tempest", "tempest_eric", "tempest_wences", "tempest_will"]
+        per = batch // 4
+        insts = []
+        from tol_tpu.api import default_goal
+        for name in names:
+            cfg_a = make_config("S10", name, ts=ts, wind_model=1)
+            inst_a = make_instance(cfg_a, default_goal("S10"),
+                                   WindConfig(model=1), dtype=dtype)
+            insts.extend([inst_a] * per)
+        inst3 = _stack_instances(insts)
+        v3 = seeds_for(inst3, jax.random.PRNGKey(2), batch)
+        out3 = run_s10(inst3, v3, p1, p2, ph_n, ph_df)   # same program
+        jax.block_until_ready(out3.f)
+        t0 = time.time()
+        out3 = run_s10(inst3, v3, p1, p2, ph_n, ph_df)
+        jax.block_until_ready(out3.f)
+        w3 = time.time() - t0
+        c3 = np.asarray(out3.converged)
+        f3 = np.asarray(out3.constr_viol) < feas
+        sweep = {
+            "airframes": names, "batch": batch,
+            "converged": int(c3.sum()),
+            "feasible": int(f3.sum()),
+            "wall_s": round(w3, 3),
+            "solves_per_s": round(float((c3 & f3).sum()) / w3, 1),
+            "per_airframe_conv": {
+                n: int(c3[i * per:(i + 1) * per].sum())
+                for i, n in enumerate(names)},
+        }
 
-        @jax.jit
-        def replan(v0, y0):
-            return alm_solve(can, kkt_r, opts_r, v0=v0, y0=y0)
-
-        pert = 0.003 * jax.random.normal(jax.random.PRNGKey(7), (can.n,),
-                                         dtype=dtype)
-        v0r = jnp.clip(v_warm + pert, lb, ub)
-        v0r = jnp.where(fixed, lb, v0r)
-        r = replan(v0r, y_warm)             # compile
-        jax.block_until_ready(r.v)
-        times = []
-        for k in range(9):
-            t0 = time.time()
-            r = replan(v0r, y_warm)
-            jax.block_until_ready(r.v)
-            times.append(time.time() - t0)
-        replan_p50_ms = float(np.median(times) * 1000.0)
-        replan_iters = int(r.iterations)
-
-    # ---- G7-Skywalker ts=100 (BASELINE config 2) ----
+    # ================= config 2: G7-Skywalker =================
     g7 = None
     if os.environ.get("BENCH_G7", "1") == "1":
         g7_batch = int(os.environ.get("BENCH_G7_BATCH", "256"))
         nlp_g = make_problem("G7", aircraft="skywalker", ts=ts, wind_model=1,
                              dtype=dtype)
         can_g = canonicalize(nlp_g, scaling="auto")
-        kkt_g = make_condensed_kkt(can_g, refine=refine, chain="cr")
-        opts_g = ALMOptions(tol=tol, feas_tol=feas,
-                            max_iter=int(os.environ.get("BENCH_G7_ITER",
-                                                        "320")),
-                            gamma_init=0.01, mu_init=1e-5, mu_shrink=0.1,
-                            prox=prox, dual_refine_k=8)
+        kkt_g = make_condensed_kkt(can_g, refine=refine, chain=chain)
+        # Measured G7 configuration (see tests/test_solver.py::
+        # test_g7_ts100_float32_converges): no exploration phase, float32-
+        # safe gamma floor 5e-6, prox 1e-3.
+        p_g = _params(dtype, tol=tol, feas_tol=feas, gamma_min=5e-6,
+                      prox=1e-3,
+                      max_iter=int(os.environ.get("BENCH_G7_ITER", "600")))
+        ph_g = Phase1(params=p_g, n_max=jnp.asarray(0, jnp.int32),
+                      exit_df=jnp.asarray(-1.0, dtype), patience=3)
+
+        @jax.jit
+        def run_g7(v0s, p):
+            return jax.vmap(lambda v: alm_solve(can_g, kkt_g, opts, v0=v,
+                                                params=p, phase1=ph_g))(v0s)
+
         v0g = can_g.initial_point()
         lbg, ubg, fxg = can_g.bounds(can_g.nlp.inst0)
         dvg = 0.01 * jax.random.normal(jax.random.PRNGKey(1),
                                        (g7_batch, can_g.n), dtype=dtype)
         v0gs = jnp.clip(v0g[None] + dvg, lbg[None], ubg[None])
         v0gs = jnp.where(fxg[None], lbg[None], v0gs)
-        run_g = jax.jit(jax.vmap(lambda v: alm_solve(can_g, kkt_g, opts_g,
-                                                     v0=v)))
-        og = run_g(v0gs)
-        jax.block_until_ready(og.f)
         t0 = time.time()
-        og = run_g(v0gs)
+        og = run_g7(v0gs, p_g)
+        jax.block_until_ready(og.f)
+        compile_s["g7"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        og = run_g7(v0gs, p_g)
         jax.block_until_ready(og.f)
         g7_wall = time.time() - t0
+        compile_s["g7"] = round(compile_s["g7"] - g7_wall, 1)
         convg = np.asarray(og.converged)
         g7 = {
             "batch": g7_batch,
             "converged": int(convg.sum()),
-            "median_kkt": float(np.median(np.asarray(og.kkt_err))),
+            "median_kkt": float(np.nanmedian(np.asarray(og.kkt_err))),
             "median_viol": float(np.median(np.asarray(og.constr_viol))),
             "median_iters": int(np.median(np.asarray(og.iterations))),
             "wall_s": round(g7_wall, 3),
             "solves_per_s": round(float(convg.sum()) / g7_wall, 2),
+        }
+
+    # ====== config 4: warm replanning through the mission layer ======
+    replan = None
+    if os.environ.get("BENCH_REPLAN", "1") == "1":
+        import math
+
+        from tol_tpu.config import Goal, StitchState
+        from tol_tpu.mission.mission import MissionConfig, default_leg_solver
+
+        mcfg = MissionConfig(aircraft="skywalker", ts=ts, wind_model=1,
+                             leg_max_iter=600)
+        solve_leg = default_leg_solver(mcfg)
+        # Leg 1 (cold): 400 m north.  Then replans: goal bearing shifted
+        # +-10 deg and range +-10% — the receding-horizon pattern of
+        # msl/mission.py:122-138, warm-started with stitch bounds from the
+        # previous leg's terminal state.
+        t0 = time.time()
+        doc = solve_leg("G7", Goal(xg=0.0, yg=400.0, zg=0.0, rg=0.0))
+        cold_s = time.time() - t0
+        cold_iters = doc["iterations"]
+        times, warm_iters, conv_ok = [], [], 0
+        rng = np.random.default_rng(7)
+        for k in range(9):
+            ang = math.pi / 2 + math.radians(rng.uniform(-10, 10))
+            rng_d = 400.0 * (1.0 + rng.uniform(-0.1, 0.1))
+            tr = doc["trajectory"]
+            st = StitchState(Va=tr["Va"][-1], gam=tr["gam"][-1],
+                             chi=tr["chi"][-1], phi=tr["phi"][-1],
+                             CL=tr["CL"][-1], dphi=tr["dphi"][-1],
+                             dCL=tr["dCL"][-1], T=tr["T"][-1])
+            g = Goal(xg=rng_d * math.cos(ang), yg=rng_d * math.sin(ang),
+                     zg=0.0, rg=0.0)
+            t0 = time.time()
+            doc = solve_leg("G7", g, stitch=st)
+            times.append(time.time() - t0)
+            warm_iters.append(doc["iterations"])
+            conv_ok += int(bool(doc["converged"]))
+        replan = {
+            "p50_ms": round(float(np.median(times)) * 1000.0, 2),
+            "p90_ms": round(float(np.percentile(times, 90)) * 1000.0, 2),
+            "cold_first_leg_s": round(cold_s, 2),
+            "cold_iters": cold_iters,
+            "median_warm_iters": int(np.median(warm_iters)),
+            "converged": conv_ok, "legs": 9,
+        }
+
+    # ================= config 5: storm-grid S10 =================
+    storm = None
+    if os.environ.get("BENCH_STORM", "1") == "1":
+        from tol_tpu.io.storm import grid_from_arrays
+
+        sb = int(os.environ.get("BENCH_STORM_BATCH", "256"))
+        # Gridded boundary layer (trilinear interp is exact on the linear
+        # field, so model 1 remains the correctness oracle — the grid
+        # machinery and gather path are what is being benchmarked).
+        nx, ny, nz, sp = 8, 8, 6, 150.0
+        origin = (17000.0, 25500.0, 0.0)
+        zs = origin[2] + sp * np.arange(nz)
+        v = np.broadcast_to(-2.4 * (zs - 200.0) / 10.0, (nx, ny, nz))
+        grid = grid_from_arrays(np.zeros((nx, ny, nz)), v,
+                                np.zeros((nx, ny, nz)), origin, (sp, sp, sp))
+        wcfg = WindConfig(model=3, east0=17400.0, north0=25800.0, up0=200.0,
+                          grid=grid)
+        nlp_s = make_problem("S10", aircraft="tempest", ts=ts, wind_model=3,
+                             wind=wcfg, dtype=dtype)
+        can_s = canonicalize(nlp_s, scaling="auto")
+        kkt_s = make_condensed_kkt(can_s, refine=refine, chain=chain)
+
+        @jax.jit
+        def run_storm(v0s, p1, p2, n_max, exit_df):
+            ph = Phase1(params=p1, n_max=n_max, exit_df=exit_df, patience=3)
+            return jax.vmap(lambda v: alm_solve(can_s, kkt_s, opts, v0=v,
+                                                params=p2, phase1=ph))(v0s)
+
+        v0st = can_s.initial_point()
+        lbs, ubs, fxs = can_s.bounds(can_s.nlp.inst0)
+        dvs = 0.01 * jax.random.normal(jax.random.PRNGKey(3),
+                                       (sb, can_s.n), dtype=dtype)
+        v0ss = jnp.clip(v0st[None] + dvs, lbs[None], ubs[None])
+        v0ss = jnp.where(fxs[None], lbs[None], v0ss)
+        t0 = time.time()
+        os_ = run_storm(v0ss, p1, p2, ph_n, ph_df)
+        jax.block_until_ready(os_.f)
+        compile_s["storm"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        os_ = run_storm(v0ss, p1, p2, ph_n, ph_df)
+        jax.block_until_ready(os_.f)
+        sw = time.time() - t0
+        compile_s["storm"] = round(compile_s["storm"] - sw, 1)
+        cs = np.asarray(os_.converged)
+        fs = np.asarray(os_.constr_viol) < feas
+        gap_s = None
+        if cost_gap is not None:
+            gap_s = (np.asarray(os_.f, np.float64) - f_star) / abs(f_star)
+        storm = {
+            "batch": sb, "wind_model": 3,
+            "converged": int(cs.sum()), "feasible": int(fs.sum()),
+            "wall_s": round(sw, 3),
+            "median_cost_gap_vs_model1_oracle":
+                (float(np.median(gap_s)) if gap_s is not None else None),
         }
 
     result = {
@@ -252,23 +373,26 @@ def main():
         "detail": {
             "batch": batch,
             "ts": ts,
+            "chain": chain,
+            "max_iter": max_iter,
             "converged": int(np.sum(conv)),
             "feasible": int(np.sum(feas_ok)),
             "accurate_and_feasible": n_ok,
             "median_viol": float(np.median(viol)),
-            "median_kkt": float(np.median(kkt_err)),
+            "median_kkt": float(np.nanmedian(np.asarray(out.kkt_err))),
             "median_cost_gap": (float(np.median(cost_gap))
                                 if cost_gap is not None else None),
             "median_ctrl_l2": (float(np.median(ctrl_l2))
                                if ctrl_l2 is not None else None),
             "wall_s": round(elapsed, 3),
-            "compile_s": round(compile_and_first - elapsed, 1),
-            "median_iters": int(np.median(np.asarray(out.iterations)))
-                            + (n1 if two_phase else 0),
-            "replan_p50_ms": (round(replan_p50_ms, 2)
-                              if replan_p50_ms is not None else None),
-            "replan_iters": replan_iters,
+            "compile_s": round(sum(compile_s.values()), 1),
+            "compile_breakdown_s": compile_s,
+            "median_iters": int(np.median(iters)),
+            "p90_iters": int(np.percentile(iters, 90)),
+            "replan": replan,
             "g7_skywalker": g7,
+            "multi_airframe": sweep,
+            "storm_grid": storm,
             "platform": jax.devices()[0].platform,
         },
     }

@@ -84,10 +84,16 @@ def default_leg_solver(cfg: MissionConfig) -> Callable:
             kkt = make_condensed_kkt(can, refine=1, chain="cr")
             pcfg = make_config(mission_type, cfg.aircraft, ts=cfg.ts,
                                wind_model=cfg.wind_model)
+            # Per-mission production configuration (measured, see
+            # tests/test_solver.py::test_g7_ts100_float32_converges and
+            # bench.py): G7 needs the float32-safe gamma floor 5e-6 and a
+            # lighter prox; S10 the stronger prox.
+            prox = 1e-3 if mission_type == "G7" else 3e-3
             opts = ALMOptions(tol=cfg.leg_tol, feas_tol=cfg.leg_feas_tol,
                               max_iter=cfg.leg_max_iter, gamma_init=0.01,
-                              mu_init=1e-5, mu_shrink=0.1, prox=3e-3,
-                              dual_refine_k=8)
+                              gamma_min=5e-6, gamma_shrink=0.2,
+                              gamma_eager=True, mu_init=1e-5, mu_shrink=0.1,
+                              prox=prox, dual_refine_k=4)
 
             @jax.jit
             def run(inst, v0, y0):
