@@ -31,7 +31,7 @@ def _state(can, seed=0, y_scale=0.3):
     return v, y, sigma, rhs_v, rhs_c
 
 
-@pytest.mark.parametrize("mission,ts", [("S10", 8), ("G7", 8), ("S10", 16)])
+@pytest.mark.parametrize("mission,ts", [("S10", 8), ("G7", 8)])
 def test_condensed_matches_dense(mission, ts):
     """The condensed-primal backend solves the exact same saddle system."""
     nlp = make_problem(mission, aircraft="tempest", ts=ts, wind_model=1)
@@ -49,7 +49,7 @@ def test_condensed_matches_dense(mission, ts):
     np.testing.assert_allclose(np.asarray(dy_s), np.asarray(dy_d), atol=1e-8 * yscale)
 
 
-@pytest.mark.parametrize("mission,ts", [("S10", 8), ("G7", 8), ("S10", 16)])
+@pytest.mark.parametrize("mission,ts", [("S10", 8), ("G7", 8)])
 def test_structured_matches_dense(mission, ts):
     nlp = make_problem(mission, aircraft="tempest", ts=ts, wind_model=1)
     can = canonicalize(nlp)
@@ -116,8 +116,7 @@ def test_pallas_chain_matches_dense(mission, ts):
                                atol=1e-7 * yscale)
 
 
-@pytest.mark.parametrize("mission,ts", [("S10", 8), ("G7", 8), ("S10", 16),
-                                        ("S10", 13)])
+@pytest.mark.parametrize("mission,ts", [("S10", 8), ("G7", 8), ("S10", 13)])
 def test_cyclic_reduction_matches_dense(mission, ts):
     """chain="cr" (O(log T) cyclic reduction, ops/blocktri.py) solves the
     identical saddle system, including non-power-of-two horizons (padded
@@ -137,8 +136,7 @@ def test_cyclic_reduction_matches_dense(mission, ts):
     np.testing.assert_allclose(np.asarray(dy_s), np.asarray(dy_d), atol=1e-8 * yscale)
 
 
-@pytest.mark.parametrize("mission,ts", [("S10", 8), ("G7", 8), ("S10", 16),
-                                        ("S10", 13)])
+@pytest.mark.parametrize("mission,ts", [("S10", 8), ("G7", 8), ("S10", 13)])
 def test_spike_matches_dense(mission, ts):
     """chain="spike" (partitioned/SPIKE elimination, ops/spike.py: parallel
     segment interiors + cyclic-reduction separator chain) solves the
