@@ -119,7 +119,6 @@ def test_g7_boundary_rows():
     assert b[-1] == pytest.approx(40.0 - 400.0, rel=1e-6)
     # Equivalence with the reference pair on AND off the feasible set:
     # reference rows == 0  <=>  (perp == 0 and along >= 0).
-    chi_d = float(np.arctan2(400.0, 0.0)) if False else None
     z0 = np.asarray(Z[0], float)
     for d_vec, feasible in [((0.0, 30.0), True),     # along course (chi_d=pi/2)
                             ((5.0, 30.0), False),    # off-course

@@ -60,6 +60,10 @@ def spike_factor(M, O, L: int = 10):
     ``L``: segment length (the last block of each segment is a separator).
     Returns an opaque factor for :func:`spike_solve`.
     """
+    if L < 2:
+        raise ValueError("segment length L must be >= 2 (every segment needs "
+                         "at least one interior block; use cr_factor for a "
+                         "pure separator chain)")
     n, b = M.shape[0], M.shape[1]
     M, O, K = _pad_mult(M, O, n, L)
     O = O.at[K * L - 1].set(0.0)
