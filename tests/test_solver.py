@@ -94,6 +94,39 @@ def test_scaled_canonical_agrees_with_unscaled():
     assert f_phys == pytest.approx(float(res_u.f), rel=1e-3)
 
 
+def test_resume_state_matches_uninterrupted():
+    """state0 resume: stopping at a runtime iteration cap and resuming
+    from result.state must land exactly where the uninterrupted solve
+    lands (the straggler-drain mechanism in bench.py relies on this)."""
+    from tol_tpu.solver.alm import ALMParams
+    from tol_tpu.solver.kkt_condensed import make_condensed_kkt
+
+    nlp = make_problem("S10", aircraft="tempest", ts=8, wind_model=1)
+    can = canonicalize(nlp, scaling="auto")
+    kkt = make_condensed_kkt(can)
+    opts = ALMOptions(max_iter=600, gamma_init=0.01, mu_init=1e-4,
+                      mu_shrink=0.1)
+
+    def params(max_iter):
+        p = ALMParams.from_options(
+            ALMOptions(tol=1e-6, max_iter=600, gamma_init=0.01,
+                       mu_init=1e-4, mu_shrink=0.1), jnp.float64)
+        return p._replace(max_iter=jnp.asarray(max_iter, jnp.int32))
+
+    run = jax.jit(lambda p, st: alm_solve(can, kkt, opts, params=p,
+                                          state0=st, keep_state=True))
+    full = run(params(600), None)
+    assert bool(full.converged)
+
+    part = run(params(25), None)
+    assert not bool(part.converged) and int(part.iterations) == 25
+    resumed = run(params(600), part.state)
+    assert bool(resumed.converged)
+    assert int(resumed.iterations) == int(full.iterations)
+    np.testing.assert_allclose(np.asarray(resumed.v), np.asarray(full.v),
+                               rtol=0, atol=1e-12)
+
+
 @pytest.mark.slow
 def test_golden_flat_manifold():
     """Documents WHY the bench gates on cost gap, not control L2: at the

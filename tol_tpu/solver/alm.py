@@ -232,6 +232,7 @@ class ALMResult(NamedTuple):
     constr_viol: jax.Array
     phase1_iters: jax.Array | None = None  # iterations spent in phase 0
     trace: tuple | None = None   # opts.trace: per-iter (kkt, mu, gamma, dw, viol, f)
+    state: "ALMState | None" = None  # keep_state=True: full resumable state
 
 
 def _inf_norm(x):
@@ -266,12 +267,21 @@ def solve(
     y0: jax.Array | None = None,
     params: ALMParams | None = None,
     phase1: Phase1 | None = None,
+    state0: "ALMState | None" = None,
+    keep_state: bool = False,
 ) -> ALMResult:
     """Solve one canonical NLP instance.
 
     Batch by vmapping over stacked ``inst`` pytrees and/or ``v0``.
     ``params``/``phase1`` are runtime pytrees — pass them through jit as
     arguments to retune without recompiling.
+
+    ``state0`` resumes a previous partial solve exactly where it stopped
+    (pass ``keep_state=True`` on the first call to get ``result.state``;
+    the iteration counter continues, so ``params.max_iter`` stays a
+    *total* per-lane budget).  The straggler-drain pattern: run the big
+    batch to a runtime cap, host-gather the unconverged lanes' states
+    into a small batch, resume them in a second (cheaper) program.
     """
 
     inst = can.nlp._inst(inst)
@@ -660,6 +670,7 @@ def solve(
     # survive 8-bit mantissas.  "highest" forces true float32 MXU passes
     # (and is a no-op for float64 on CPU).
     with jax.default_matmul_precision("highest"):
+        st_init = init_state() if state0 is None else state0
         if opts.trace:
             # Diagnostic mode: fixed-length scan recording per-iteration
             # scalars (works on TPU where debug callbacks are unavailable).
@@ -668,10 +679,10 @@ def solve(
                 rec = (st_n.kkt_err, st_n.mu, st_n.gamma, st_n.delta_w,
                        _inf_norm(c_fn(st_n.v)), st_n.f_prev)
                 return st_n, rec
-            final, trace = jax.lax.scan(scan_step, init_state(), None,
+            final, trace = jax.lax.scan(scan_step, st_init, None,
                                         length=opts.max_iter)
         else:
-            final = jax.lax.while_loop(cond, step, init_state())
+            final = jax.lax.while_loop(cond, step, st_init)
             trace = None
         # The final reporting evals MUST stay inside the highest-precision
         # scope: with TPU-default bf16 matmul passes the slack-scatter
@@ -688,4 +699,5 @@ def solve(
         f=f_fin, iterations=final.it, converged=final.converged,
         kkt_err=final.kkt_err, constr_viol=viol,
         phase1_iters=final.n0, trace=trace,
+        state=final if keep_state else None,
     )
