@@ -35,13 +35,29 @@ can = canonicalize(nlp, scaling="auto")
 inst = nlp.inst0
 kkt = make_condensed_kkt(can, refine=1, chain="cr")
 
-opts1 = ALMOptions(tol=1e-7, feas_tol=1e-8, max_iter=2000, gamma_init=0.01,
-                   mu_init=1e-5, mu_shrink=0.1, prox=3e-3, dual_refine_k=4,
-                   gamma_eager=True, gamma_shrink=0.2)
-res = alm_solve(can, kkt, opts1)
-print("stage1 (ALM f64): iters", int(res.iterations),
-      "kkt", float(res.kkt_err), "viol", float(res.constr_viol),
-      "f", float(res.f), flush=True)
+warm = os.environ.get("WARM", "")
+if warm:
+    vp_in = np.load(warm)
+    v_warm = can.from_physical(jnp.asarray(vp_in))
+
+    class _R:  # stand-in for the stage-1 result
+        v = v_warm
+        f = float(can.f(v_warm, inst))
+        iterations = 0
+        kkt_err = float("nan")
+        constr_viol = float("nan")
+
+    res = _R()
+    print("warm start from", warm, " f =", res.f, flush=True)
+else:
+    opts1 = ALMOptions(tol=1e-7, feas_tol=1e-8, max_iter=2000,
+                       gamma_init=0.01, mu_init=1e-5, mu_shrink=0.1,
+                       prox=3e-3, dual_refine_k=4, gamma_eager=True,
+                       gamma_shrink=0.2)
+    res = alm_solve(can, kkt, opts1)
+    print("stage1 (ALM f64): iters", int(res.iterations),
+          "kkt", float(res.kkt_err), "viol", float(res.constr_viol),
+          "f", float(res.f), flush=True)
 
 f = jax.jit(lambda v: can.f(v, inst))
 g = jax.jit(jax.grad(lambda v: can.f(v, inst)))
@@ -72,8 +88,10 @@ viol2 = float(np.max(np.abs(np.asarray(c(v)))))
 print("f", f2, "(stage1", float(res.f), ") viol", viol2)
 vp = np.asarray(can.to_physical(v))
 print("dt", vp[0])
-if viol2 <= 1e-8 and f2 <= float(res.f) + 1e-9:
+np.save("/root/repo/scratch/g7_tc_last.npy", vp)   # chain via WARM=
+if (viol2 <= 1e-8 and f2 <= float(res.f) + 1e-9
+        and float(out.optimality) < float(os.environ.get("OPT_TOL", "1e-6"))):
     np.save("/root/repo/tests/golden_g7_ts100.npy", vp)
     print("saved golden_g7_ts100.npy  f* =", f2)
 else:
-    print("NOT SAVED")
+    print("NOT SAVED (chain with WARM=scratch/g7_tc_last.npy)")

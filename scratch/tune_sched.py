@@ -97,6 +97,17 @@ drain_on = e("DRAIN", "0") == "1"
 caps = [int(x) for x in e("CAPS", "250,210,180").split(",")]
 exitdfs = [float(x) for x in e("EXITDFS", "-1,1e-3,3e-3").split(",")]
 n1s = [int(x) for x in e("N1S", "90").split(",")]
+# endgame-schedule override grid: "key=v|key=v,key=v" -> list of dicts
+sched_grid = [dict()]
+if e("SCHEDS", ""):
+    sched_grid = []
+    for spec in e("SCHEDS", "").split(";"):
+        d = {}
+        for kv in spec.split(","):
+            if kv:
+                k, v = kv.split("=")
+                d[k] = float(v)
+        sched_grid.append(d)
 
 # warm-up compile
 o = run_group(groups[0], p1_base, params(max_iter=5),
@@ -108,10 +119,11 @@ if drain_on:
                    jnp.asarray(5, jnp.int32), jnp.asarray(-1.0, dtype))
     jax.block_until_ready(od.f)
 
-for n1 in n1s:
+for sched in sched_grid:
+  for n1 in n1s:
     for xdf in exitdfs:
         for cap in caps:
-            p2 = params(max_iter=cap)
+            p2 = params(max_iter=cap, **sched)
             t0 = time.time()
             outs = [run_group(gv, p1_base, p2, jnp.asarray(n1, jnp.int32),
                               jnp.asarray(xdf, dtype)) for gv in groups]
@@ -124,7 +136,7 @@ for n1 in n1s:
                     lambda *xs: jnp.concatenate(xs), *[o.state for o in outs])
                 conv = np.concatenate([np.asarray(o.converged) for o in outs])
                 idx = np.flatnonzero(~conv)
-                p2d = params(max_iter=int(e("DRAIN_CAP", "250")))
+                p2d = params(max_iter=int(e("DRAIN_CAP", "250")), **sched)
                 douts, didx = [], []
                 for k0 in range(0, len(idx), DB):
                     sel = idx[k0:k0 + DB]
@@ -154,7 +166,8 @@ for n1 in n1s:
             gap = (fs - f_star) / abs(f_star)
             ok = conv & (viol < 1e-4) & (gap < 1e-2)
             n_ok = int(ok.sum())
-            print(f"n1={n1:3d} xdf={xdf:8.1e} cap={cap:3d} "
+            tag = ",".join(f"{k}={v:g}" for k, v in sched.items()) or "base"
+            print(f"[{tag}] n1={n1:3d} xdf={xdf:8.1e} cap={cap:3d} "
                   f"ok={n_ok:4d}/1024 conv={int(conv.sum()):4d} "
                   f"it_p50={int(np.median(iters)):3d} "
                   f"it_p90={int(np.percentile(iters, 90)):3d} "

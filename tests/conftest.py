@@ -20,3 +20,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compile cache: the expensive tests are XLA-compile-bound
+# (dense-vs-structured KKT parity programs, solver while-loops); on a
+# machine that has run the suite before, identical programs replay from
+# disk and the suite wall time drops severalfold.
+from tol_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()

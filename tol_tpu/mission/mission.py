@@ -45,6 +45,13 @@ class MissionConfig:
     leg_tol: float = 5e-3        # working KKT tolerance per leg solve
     leg_feas_tol: float = 1e-4   # scaled feasibility per leg solve
     leg_max_iter: int = 400
+    # Live wind-field refresh (wind_model 3): path to a TOLWGRID cache
+    # re-read before EVERY leg solve when ``wind_refresh`` — the analog of
+    # the reference re-querying the storm DB in each problem ctor
+    # (src/problem.cpp:371-469).  The grid is instance data (same shapes),
+    # so a refresh never recompiles the leg program.
+    wind_grid_path: Optional[str] = None
+    wind_refresh: bool = False
 
 
 def default_leg_solver(cfg: MissionConfig) -> Callable:
@@ -73,13 +80,26 @@ def default_leg_solver(cfg: MissionConfig) -> Callable:
 
     cache: dict = {}
     warm: dict = {}   # mission_type -> (v, y) from the last converged leg
+    wind_cache: dict = {}
+
+    def _wind_config() -> WindConfig:
+        """Per-leg wind configuration; reloads the TOLWGRID grid from disk
+        each call when cfg.wind_refresh (live storm updates)."""
+        if cfg.wind_model == 3 and cfg.wind_grid_path:
+            if cfg.wind_refresh or "grid" not in wind_cache:
+                from tol_tpu.io.native import read_wind_grid
+
+                wind_cache["grid"] = read_wind_grid(cfg.wind_grid_path)
+            return WindConfig(model=3, grid=wind_cache["grid"])
+        return WindConfig(model=cfg.wind_model)
 
     def solve_leg(mission_type: str, goal_ned: Goal, stitch=None, v0=None):
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        wind_cfg = _wind_config()
         if mission_type not in cache:
             nlp = make_problem(mission_type, aircraft=cfg.aircraft,
                                ts=cfg.ts, wind_model=cfg.wind_model,
-                               dtype=dtype)
+                               wind=wind_cfg, dtype=dtype)
             can = canonicalize(nlp, scaling="auto")
             kkt = make_condensed_kkt(can, refine=1, chain="cr")
             pcfg = make_config(mission_type, cfg.aircraft, ts=cfg.ts,
@@ -101,7 +121,7 @@ def default_leg_solver(cfg: MissionConfig) -> Callable:
 
             cache[mission_type] = (nlp, can, run, pcfg)
         nlp, can, run, pcfg = cache[mission_type]
-        inst = make_instance(pcfg, goal_ned, WindConfig(model=cfg.wind_model),
+        inst = make_instance(pcfg, goal_ned, wind_cfg,
                              dtype=dtype, stitch=stitch)
         y0 = jnp.zeros(can.m, dtype)
         used_warm = False
@@ -122,8 +142,10 @@ def default_leg_solver(cfg: MissionConfig) -> Callable:
         t0 = time.time()
         res = run(inst, v0, y0)
         jax.block_until_ready(res.v)
+        cold_retry = False
         if used_warm and not bool(res.converged):
             # Cold retry: a stale warm start must never lose a leg.
+            cold_retry = True
             res = run(inst, can.initial_point(inst), jnp.zeros(can.m, dtype))
             jax.block_until_ready(res.v)
         solve_s = time.time() - t0
@@ -135,6 +157,8 @@ def default_leg_solver(cfg: MissionConfig) -> Callable:
         doc["kkt_err"] = float(res.kkt_err)
         doc["iterations"] = int(res.iterations)
         doc["solve_s"] = solve_s
+        doc["used_warm"] = used_warm
+        doc["cold_retry"] = cold_retry
         if bool(res.converged):
             warm[mission_type] = (res.v, res.y, goal_ned)
         return doc

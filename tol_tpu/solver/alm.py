@@ -239,6 +239,38 @@ def _inf_norm(x):
     return jnp.max(jnp.abs(x)) if x.size else jnp.zeros(())
 
 
+def phase_switch_state(can: CanonicalNLP, st: "ALMState", p2: ALMParams,
+                       inst=None) -> "ALMState":
+    """Exploration -> endgame transition on a *saved* state (the split-
+    program continuation: run the dive in one compiled program — e.g. with
+    a cheaper KKT chain — and resume the endgame in another via
+    ``state0``).  Performs exactly what the in-loop ``Phase1`` switch does
+    (alm.py step(): ``leave`` branch): absorb the AL multiplier view,
+    restart the barrier/penalty schedules at the endgame values, re-center
+    the prox reference and bound duals.  vmap over stacked states for
+    batches."""
+    inst = can.nlp._inst(inst)
+    lb, ub, fixed = can.bounds(inst)
+    has_lb = (lb > -_BIG) & ~fixed
+    has_ub = (ub < _BIG) & ~fixed
+    dtype = st.v.dtype
+    cv = can.c(st.v, inst)
+    y = st.yhat + cv / st.gamma
+    mu2 = p2.mu_init.astype(dtype)
+    dl = jnp.where(has_lb, st.v - lb, 1.0)
+    du = jnp.where(has_ub, ub - st.v, 1.0)
+    return st._replace(
+        yhat=y, mu=mu2, gamma=p2.gamma_init.astype(dtype),
+        v_ref=st.v, theta_ref=_inf_norm(cv),
+        zl=jnp.where(has_lb, mu2 / dl, 0.0),
+        zu=jnp.where(has_ub, mu2 / du, 0.0),
+        delta_w=jnp.zeros((), dtype),
+        phase=jnp.ones((), jnp.int32),
+        f_prev=can.f(st.v, inst),
+        slow=jnp.zeros((), jnp.int32),
+    )
+
+
 def _cg(Aop, b, x0, k):
     """k fixed CG steps on the (consistent, PSD) system A x = b."""
     x = x0
@@ -441,12 +473,21 @@ def solve(
             ftb(jnp.where(has_ub, du, 1.0), jnp.where(has_ub, -dv, 0.0)),
         )
 
-        # Plain Armijo on the smooth AL merit, trials in parallel.
+        # Plain Armijo on the smooth AL merit, trials in parallel.  Each
+        # trial's (f, c) are kept: the accepted point's evaluations are
+        # reused below instead of re-evaluating f/c at v_n (one full
+        # constraint+cost evaluation saved per iteration).
         al0 = al_of(f_v, cv, v, st.v_ref, rho, yhat, gamma, mu)
         d_al = g_al @ dv
         alphas = a_max * (0.5 ** jnp.arange(opts.max_ls, dtype=dtype))
-        al_vals = jax.vmap(
-            lambda a: al_value(v + a * dv, st.v_ref, rho, yhat, gamma, mu))(alphas)
+
+        def al_trial(a):
+            vt = v + a * dv
+            ft = f_fn(vt)
+            ct = c_fn(vt)
+            return al_of(ft, ct, vt, st.v_ref, rho, yhat, gamma, mu), ft, ct
+
+        al_vals, f_tr, c_tr = jax.vmap(al_trial)(alphas)
         ok = al_vals <= al0 + eff.eta.astype(dtype) * alphas * d_al
         any_ok = jnp.any(ok)
         alpha = jnp.where(any_ok, alphas[jnp.argmax(ok)], 0.0)
@@ -495,8 +536,12 @@ def solve(
         zu_n = jnp.where(has_ub, jnp.clip(zu_n, mu / (ks * du_n), ks * mu / du_n), 0.0)
 
         # ---- inner convergence test at the new point ----
-        f_n = f_fn(v_n)
-        c_n = c_fn(v_n)
+        # (f, c) at v_n come from the accepted line-search trial: alpha is
+        # either exactly alphas[sel] (Armijo pick, or alphas[0] = a_max in
+        # the sub-noise full-step regime) or 0 (rejection, v_n == v).
+        sel = jnp.where(sub_noise, 0, jnp.argmax(ok))
+        f_n = jnp.where(alpha > 0.0, f_tr[sel], f_v)
+        c_n = jnp.where(alpha > 0.0, c_tr[sel], cv)
         y_n = yhat + c_n / gamma
         parts_n = _kkt_parts(v_n, y_n, zl_n, zu_n)
         err_in, th_in, e_d_in, e_c_in = _errors_at(parts_n, mu)
