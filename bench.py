@@ -151,13 +151,17 @@ def main():
     ph_n = jnp.asarray(n1, jnp.int32)
     ph_df = jnp.asarray(-1.0, dtype)   # fixed-length dive (measured best)
 
+    # Group program: ONE instance per group (config 1: all lanes share
+    # inst0; config 3: each 256-lane group is a single airframe), so the
+    # per-step instance gathers/bounds rebuilds vanish from the hot loop.
+    # The drain program keeps per-lane instances (its chunks mix groups).
     @jax.jit
-    def run_s10(insts, v0s, p1, p2, n_max, exit_df):
+    def run_s10(inst, v0s, p1, p2, n_max, exit_df):
         ph = Phase1(params=p1, n_max=n_max, exit_df=exit_df, patience=3)
-        return jax.vmap(lambda i, v: alm_solve(can, kkt, opts, inst=i,
-                                               v0=v, params=p2,
-                                               phase1=ph,
-                                               keep_state=True))(insts, v0s)
+        return jax.vmap(lambda v: alm_solve(can, kkt, opts, inst=inst,
+                                            v0=v, params=p2,
+                                            phase1=ph,
+                                            keep_state=True))(v0s)
 
     @jax.jit
     def run_drain(insts, st, p1, p2, n_max, exit_df):
@@ -166,6 +170,21 @@ def main():
                                                params=p2, phase1=ph,
                                                state0=s))(insts, st)
 
+    # One fused dispatch for the straggler gather: the TPU here sits
+    # behind a tunnel, so tree_map-per-leaf host-side gathers cost ~2 s of
+    # pure dispatch latency per drain chunk (measured) — catastrophic next
+    # to the ~0.2 s of actual drain compute.
+    @jax.jit
+    def _merge_fields(fields):
+        return tuple(jnp.concatenate(xs) for xs in zip(*fields))
+
+    @jax.jit
+    def gather_chunk(states, insts, pad):
+        st_all = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs)[pad], *states)
+        ii = jax.tree_util.tree_map(lambda x: x[pad], insts)
+        return st_all, ii
+
     def seeds_for(insts, key, n):
         v0 = jax.vmap(can.initial_point)(insts)
         lb, ub, fixed = jax.vmap(can.bounds)(insts)
@@ -173,56 +192,81 @@ def main():
         v0s = jnp.clip(v0 + dv, lb, ub)
         return jnp.where(fixed, lb, v0s)
 
-    def run_batched(insts, v0s):
-        """Group solves + straggler drain; returns merged result arrays
-        and the per-program executed-iteration tally (flops accounting)."""
+    def run_batched(group_insts, insts, v0s):
+        """Group solves (one shared instance per group) + straggler drain
+        (per-lane instances); returns merged result arrays and the
+        executed-iteration tally (flops accounting)."""
+        import sys
+
+        dbg = os.environ.get("BENCH_DEBUG", "0") == "1"
         n = v0s.shape[0]
         outs = []
-        for k in range(0, n, GB):
-            gi = jax.tree_util.tree_map(lambda x: x[k:k + GB], insts)
+        tg0 = time.time()
+        for g, gi in enumerate(group_insts):
+            k = g * GB
             outs.append(run_s10(gi, v0s[k:k + GB], p1, p2, ph_n, ph_df))
-        for o in outs:
-            jax.block_until_ready(o.f)
-        conv = np.concatenate([np.asarray(o.converged) for o in outs])
-        viol = np.concatenate([np.asarray(o.constr_viol) for o in outs])
-        fs = np.concatenate([np.asarray(o.f, np.float64) for o in outs])
-        its = np.concatenate([np.asarray(o.iterations) for o in outs])
-        kks = np.concatenate([np.asarray(o.kkt_err) for o in outs])
-        vs = np.concatenate([np.asarray(o.v) for o in outs])
-        group_iters = sum(int(np.max(np.asarray(o.iterations)))
-                          for o in outs)
+            if dbg:
+                jax.block_until_ready(outs[-1].f)
+                print(f"  group {g}: {time.time() - tg0:.3f}s cumulative",
+                      file=sys.stderr)
+        # ONE fused merge + ONE host pull: per-array np.asarray transfers
+        # over the tunneled TPU cost ~30 ms of latency each (measured
+        # ~0.8 s total at 4 groups x 6 fields).
+        fields = [(o.converged, o.constr_viol, o.f, o.iterations,
+                   o.kkt_err, o.v) for o in outs]
+        merged = _merge_fields(fields)
+        if dbg:
+            jax.block_until_ready(merged[0])
+            print(f"  groups total: {time.time() - tg0:.3f}s",
+                  file=sys.stderr)
+        conv, viol, fs, its, kks, vs = [np.asarray(x)
+                                        for x in jax.device_get(merged)]
+        fs = fs.astype(np.float64)
+        group_iters = sum(int(np.max(its[g * GB:(g + 1) * GB]))
+                          for g in range(len(outs)))
         drain_iters = 0
         idx = np.flatnonzero(~conv)
+        if dbg:
+            td0 = time.time()
         if len(idx):
-            st_all = jax.tree_util.tree_map(
-                lambda *xs: jnp.concatenate(xs), *[o.state for o in outs])
+            states = [o.state for o in outs]
+            chunks = []
             for k0 in range(0, len(idx), DB):
                 sel = idx[k0:k0 + DB]
                 pad = np.concatenate([sel, np.zeros(DB - len(sel), int)])
-                sti = jax.tree_util.tree_map(lambda x: x[pad], st_all)
-                ii = jax.tree_util.tree_map(lambda x: x[pad], insts)
+                sti, ii = gather_chunk(states, insts, jnp.asarray(pad))
                 od = run_drain(ii, sti, p1, p2d, ph_n, ph_df)
-                jax.block_until_ready(od.f)
-                m = len(sel)
-                conv[sel] = np.asarray(od.converged)[:m]
-                viol[sel] = np.asarray(od.constr_viol)[:m]
-                fs[sel] = np.asarray(od.f, np.float64)[:m]
-                its[sel] = np.asarray(od.iterations)[:m]
-                kks[sel] = np.asarray(od.kkt_err)[:m]
-                vs[sel] = np.asarray(od.v)[:m]
+                chunks.append((sel, od))
+            dm = _merge_fields([(od.converged, od.constr_viol, od.f,
+                                 od.iterations, od.kkt_err, od.v)
+                                for _, od in chunks])
+            dconv, dviol, dfs, dits, dkks, dvs = [
+                np.asarray(x) for x in jax.device_get(dm)]
+            for ci, (sel, _) in enumerate(chunks):
+                m, o0 = len(sel), ci * DB
+                conv[sel] = dconv[o0:o0 + m]
+                viol[sel] = dviol[o0:o0 + m]
+                fs[sel] = dfs[o0:o0 + m].astype(np.float64)
+                its[sel] = dits[o0:o0 + m]
+                kks[sel] = dkks[o0:o0 + m]
+                vs[sel] = dvs[o0:o0 + m]
                 drain_iters += max(
-                    0, int(np.max(np.asarray(od.iterations))) - cap1)
+                    0, int(dits[o0:o0 + m].max()) - cap1)
+        if dbg:
+            print(f"  drain ({len(idx)} lanes): {time.time() - td0:.3f}s",
+                  file=sys.stderr)
         return conv, viol, fs, its, kks, vs, group_iters, drain_iters
 
     inst1 = _stack_instances([can.nlp.inst0] * batch)
+    g_insts1 = [can.nlp.inst0] * (batch // GB)
     v0s = seeds_for(inst1, jax.random.PRNGKey(0), batch)
 
     t0 = time.time()
-    run_batched(inst1, v0s)           # compile + warm every program path
+    run_batched(g_insts1, inst1, v0s)  # compile + warm every program path
     compile_s["s10"] = round(time.time() - t0, 1)
     t0 = time.time()
     (conv, viol, out_f, iters, out_kkt, out_v,
-     group_iters, drain_iters) = run_batched(inst1, v0s)
+     group_iters, drain_iters) = run_batched(g_insts1, inst1, v0s)
     elapsed = time.time() - t0
     compile_s["s10"] = round(compile_s["s10"] - elapsed, 1)
 
@@ -231,8 +275,7 @@ def main():
     # ONE batched solver iteration; achieved = flops/iter * iters paid.
     from tol_tpu.utils.flops import peak_flops, program_flops
 
-    gi0 = jax.tree_util.tree_map(lambda x: x[:GB], inst1)
-    flops_per_iter = program_flops(run_s10, gi0, v0s[:GB], p1, p2,
+    flops_per_iter = program_flops(run_s10, can.nlp.inst0, v0s[:GB], p1, p2,
                                    ph_n, ph_df)
     achieved = (flops_per_iter * (group_iters + (DB / GB) * drain_iters)
                 / elapsed)
@@ -272,21 +315,27 @@ def main():
 
     # ================= config 3: multi-airframe sweep =================
     sweep = None
-    if os.environ.get("BENCH_SWEEP", "1") == "1" and batch % 4 == 0:
+    if (os.environ.get("BENCH_SWEEP", "1") == "1" and batch % 4 == 0
+            and (batch // 4) % GB == 0):
         names = ["tempest", "tempest_eric", "tempest_wences", "tempest_will"]
         per = batch // 4
         insts = []
+        singles = []
         from tol_tpu.api import default_goal
         for name in names:
             cfg_a = make_config("S10", name, ts=ts, wind_model=1)
             inst_a = make_instance(cfg_a, default_goal("S10"),
                                    WindConfig(model=1), dtype=dtype)
             insts.extend([inst_a] * per)
+            singles.append(inst_a)
         inst3 = _stack_instances(insts)
+        # airframe blocks align with solve groups (per % GB == 0 for the
+        # default batch 1024 / GB 256)
+        g_insts3 = [singles[(g * GB) // per] for g in range(batch // GB)]
         v3 = seeds_for(inst3, jax.random.PRNGKey(2), batch)
-        run_batched(inst3, v3)                 # warm (same programs)
+        run_batched(g_insts3, inst3, v3)       # warm (same programs)
         t0 = time.time()
-        c3, v3viol, _, _, _, _, _, _ = run_batched(inst3, v3)
+        c3, v3viol, _, _, _, _, _, _ = run_batched(g_insts3, inst3, v3)
         w3 = time.time() - t0
         f3 = v3viol < feas
         sweep = {
@@ -344,12 +393,36 @@ def main():
         g7_wall = time.time() - t0
         compile_s["g7"] = round(compile_s["g7"] - g7_wall, 1)
         convg = np.asarray(og.converged)
+        # G7 optimality gate = KKT certificate + feasibility, NOT a cost
+        # gap: the G7 cost (pure thrust energy, gains kT=100 / others 0)
+        # descends a connected feasible valley spanning an 84x cost range
+        # at ~1e-5 stationarity (dynamic soaring against the unbounded
+        # linear-shear wind aloft), so no unique optimal value exists at
+        # working tolerance.  Evidence: tests/g7_bestknown_ts100.npy +
+        # tests/test_external_oracle.py::
+        # test_g7_bestknown_point_documents_the_thrust_valley.  The gap
+        # vs that best-known point is reported informationally.
+        g7_gap = None
+        bk_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tests", "g7_bestknown_ts100.npy")
+        if ts == 100 and os.path.exists(bk_path):
+            bk = np.load(bk_path)
+            f_bk = float(can_g.f(can_g.from_physical(
+                jnp.asarray(bk, dtype)), can_g.nlp.inst0))
+            g7_gap = (np.asarray(og.f, np.float64) - f_bk) / max(
+                abs(f_bk), 1e-9)
         g7 = {
             "batch": g7_batch,
             "converged": int(convg.sum()),
             "median_kkt": float(np.nanmedian(np.asarray(og.kkt_err))),
             "median_viol": float(np.median(np.asarray(og.constr_viol))),
             "median_iters": int(np.median(np.asarray(og.iterations))),
+            "median_f_scaled": float(np.median(np.asarray(og.f))),
+            "iqr_f_scaled": [
+                float(np.percentile(np.asarray(og.f), 25)),
+                float(np.percentile(np.asarray(og.f), 75))],
+            "median_cost_gap_vs_bestknown_informational":
+                (float(np.median(g7_gap)) if g7_gap is not None else None),
             "wall_s": round(g7_wall, 3),
             "solves_per_s": round(float(convg.sum()) / g7_wall, 2),
         }

@@ -133,3 +133,45 @@ def test_s10_ts100_golden_is_externally_stationary():
         # The external solver wandered infeasible — its cost is not
         # comparable; it must at least not CLAIM convergence elsewhere.
         assert res.status not in (1, 2) or f_end >= f_star * (1.0 - 1e-3)
+
+
+def test_g7_bestknown_point_documents_the_thrust_valley():
+    """G7 optimality is gated on the KKT certificate, NOT a cost gap —
+    this test carries the evidence.
+
+    With the reference gains (problems/G7/gains.param: kT=100, all other
+    gains 0 — identical in /root/reference) the G7 cost reduces to pure
+    thrust energy 50*sum(T^2), and the linear boundary-layer wind model
+    (v = -2.4 z/10 at ALL altitudes, src/problem.cpp:501-531) offers
+    unbounded shear energy aloft: the NLP's cost descends along one
+    connected, feasible, near-stationary valley from the seed basin
+    (f ~ 7.47, where working-tolerance solvers stop with ||grad L|| ~
+    1e-5) down to dynamic-soaring gaits with nearly zero thrust
+    (f ~ 0.089 at tests/g7_bestknown_ts100.npy, produced by chained
+    scipy trust-constr descents, feasible to 7e-14).  An 84x cost range
+    at ~1e-5 stationarity means NO unique "optimal cost" exists to gate
+    against at working tolerance — SNOPT at its 1e-4 option
+    (problems/G7/snopt.param:6) stops somewhere on the same valley.  The
+    bench therefore gates G7 on the KKT certificate + feasibility and
+    reports the cost gap vs this best-known point informationally.
+    """
+    vp = np.load("tests/g7_bestknown_ts100.npy")
+    nlp = make_problem("G7", aircraft="skywalker", ts=100, wind_model=1)
+    can = canonicalize(nlp, scaling="auto")
+    inst = nlp.inst0
+    v = can.from_physical(jnp.asarray(vp))
+    # feasible to external-oracle precision
+    viol = float(jnp.max(jnp.abs(can.c(v, inst))))
+    assert viol < 1e-10, viol
+    # deep in the valley: 80x below the seed basin (physical units)
+    f = float(can.f(v, inst)) / float(can.scaling.s_f)
+    assert f < 500.0  # seed basin sits at ~1.7e4
+    # the gait is a near-zero-thrust soaring cycle (seed-basin RMS ~1.9 N)
+    Z = vp[1:1 + 101 * 11].reshape(101, 11)
+    assert float(np.sqrt(np.mean(Z[:, 10] ** 2))) < 0.5  # RMS thrust [N]
+    # bounds respected (dt rides its upper bound 2.0 — a legal vertex of
+    # the reference's own dt box, problems/G7/limits.param:2-3)
+    lb, ub, _ = can.bounds(inst)
+    vv = np.asarray(v)
+    assert np.all(vv >= np.asarray(lb) - 1e-9)
+    assert np.all(vv <= np.asarray(ub) + 1e-9)

@@ -52,6 +52,19 @@ class MissionConfig:
     # so a refresh never recompiles the leg program.
     wind_grid_path: Optional[str] = None
     wind_refresh: bool = False
+    # Seed-ensemble leg solves (TPU production path): solve each leg as a
+    # batch of leg_ensemble lanes — warm start + perturbed warm + cold
+    # seeds — advancing in leg_chunk-iteration slices (ALMState resume)
+    # and stopping at the first slice with a converged lane (best-f
+    # winner).  Rationale (measured, BENCH_r04): a single-lane solve on
+    # TPU pays ~36 ms/iteration (the batched Pallas chain needs
+    # B % 128 == 0; B=1 falls back to an XLA op stream), while a 128-lane
+    # ensemble pays ~2 ms/iteration-per-batch — so the ensemble is ~4x
+    # faster per leg AND replaces the serial cold-retry fallback (cold
+    # lanes run concurrently with the warm ones).  0 = single-lane path.
+    leg_ensemble: int = 0
+    leg_chunk: int = 48
+    leg_chain: str = "cr"   # ensemble path wants "crp" on TPU
 
 
 def default_leg_solver(cfg: MissionConfig) -> Callable:
@@ -68,6 +81,7 @@ def default_leg_solver(cfg: MissionConfig) -> Callable:
     """
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from tol_tpu.api import make_config, make_problem
     from tol_tpu.config import Goal
@@ -101,7 +115,7 @@ def default_leg_solver(cfg: MissionConfig) -> Callable:
                                ts=cfg.ts, wind_model=cfg.wind_model,
                                wind=wind_cfg, dtype=dtype)
             can = canonicalize(nlp, scaling="auto")
-            kkt = make_condensed_kkt(can, refine=1, chain="cr")
+            kkt = make_condensed_kkt(can, refine=1, chain=cfg.leg_chain)
             pcfg = make_config(mission_type, cfg.aircraft, ts=cfg.ts,
                                wind_model=cfg.wind_model)
             # Per-mission production configuration (measured, see
@@ -119,8 +133,26 @@ def default_leg_solver(cfg: MissionConfig) -> Callable:
             def run(inst, v0, y0):
                 return alm_solve(can, kkt, opts, inst=inst, v0=v0, y0=y0)
 
-            cache[mission_type] = (nlp, can, run, pcfg)
-        nlp, can, run, pcfg = cache[mission_type]
+            from tol_tpu.solver.alm import ALMParams
+
+            pbase = ALMParams.from_options(opts, dtype)
+
+            @jax.jit
+            def run_ens(inst, v0s, y0s, p):
+                return jax.vmap(
+                    lambda v, y: alm_solve(can, kkt, opts, inst=inst, v0=v,
+                                           y0=y, params=p,
+                                           keep_state=True))(v0s, y0s)
+
+            @jax.jit
+            def resume_ens(inst, st, p):
+                return jax.vmap(
+                    lambda s: alm_solve(can, kkt, opts, inst=inst, params=p,
+                                        state0=s, keep_state=True))(st)
+
+            cache[mission_type] = (nlp, can, run, run_ens, resume_ens,
+                                   pbase, pcfg)
+        nlp, can, run, run_ens, resume_ens, pbase, pcfg = cache[mission_type]
         inst = make_instance(pcfg, goal_ned, wind_cfg,
                              dtype=dtype, stitch=stitch)
         y0 = jnp.zeros(can.m, dtype)
@@ -137,18 +169,58 @@ def default_leg_solver(cfg: MissionConfig) -> Callable:
                 if d_chi < math.pi / 6.0:
                     v0, y0 = v_w, y_w
                     used_warm = True
-            if v0 is None:
+            if v0 is None and cfg.leg_ensemble <= 0:
                 v0 = can.initial_point(inst)
-        t0 = time.time()
-        res = run(inst, v0, y0)
-        jax.block_until_ready(res.v)
         cold_retry = False
-        if used_warm and not bool(res.converged):
-            # Cold retry: a stale warm start must never lose a leg.
-            cold_retry = True
-            res = run(inst, can.initial_point(inst), jnp.zeros(can.m, dtype))
+        winner = None
+        if cfg.leg_ensemble > 0:
+            # Seed-ensemble leg solve (see MissionConfig.leg_ensemble).
+            E = cfg.leg_ensemble
+            lb, ub, fixed = can.bounds(inst)
+            seed0 = can.initial_point(inst)
+            base = v0 if used_warm else seed0
+            n_warm = E // 2 if used_warm else 1
+            key = jax.random.PRNGKey(len(warm) * 1000 + E)
+            dv = 0.01 * jax.random.normal(key, (E, can.n), dtype=dtype)
+            dv = dv.at[0].set(0.0).at[n_warm].set(0.0)
+            bases = jnp.where((jnp.arange(E) < n_warm)[:, None],
+                              jnp.asarray(base)[None], seed0[None])
+            v0s = jnp.clip(bases + dv, lb[None], ub[None])
+            v0s = jnp.where(fixed[None], lb[None], v0s)
+            y0s = jnp.where((jnp.arange(E) < n_warm)[:, None],
+                            jnp.asarray(y0)[None],
+                            jnp.zeros((1, can.m), dtype))
+            t0 = time.time()
+            it = min(cfg.leg_chunk, cfg.leg_max_iter)
+            out = run_ens(inst, v0s, y0s,
+                          pbase._replace(max_iter=jnp.asarray(it, jnp.int32)))
+            while True:
+                conv = np.asarray(out.converged)
+                if conv.any() or it >= cfg.leg_max_iter:
+                    break
+                it = min(it + cfg.leg_chunk, cfg.leg_max_iter)
+                out = resume_ens(
+                    inst, out.state,
+                    pbase._replace(max_iter=jnp.asarray(it, jnp.int32)))
+            fs = np.asarray(out.f, np.float64)
+            if conv.any():
+                fs_m = np.where(conv, fs, np.inf)
+                winner = int(np.argmin(fs_m))
+            else:  # no lane certified: report the most feasible one
+                winner = int(np.argmin(np.asarray(out.constr_viol)))
+            res = jax.tree_util.tree_map(lambda x: x[winner], out)
+            solve_s = time.time() - t0
+        else:
+            t0 = time.time()
+            res = run(inst, v0, y0)
             jax.block_until_ready(res.v)
-        solve_s = time.time() - t0
+            if used_warm and not bool(res.converged):
+                # Cold retry: a stale warm start must never lose a leg.
+                cold_retry = True
+                res = run(inst, can.initial_point(inst),
+                          jnp.zeros(can.m, dtype))
+                jax.block_until_ready(res.v)
+            solve_s = time.time() - t0
         Z, dt, _ = can.split(can.to_physical(res.v))
         f_phys = float(res.f) / float(can.scaling.s_f)
         doc = results_document(pcfg, goal_ned, Z, dt, f_phys,
@@ -159,6 +231,9 @@ def default_leg_solver(cfg: MissionConfig) -> Callable:
         doc["solve_s"] = solve_s
         doc["used_warm"] = used_warm
         doc["cold_retry"] = cold_retry
+        if winner is not None:
+            doc["ensemble"] = cfg.leg_ensemble
+            doc["winner_lane"] = winner
         if bool(res.converged):
             warm[mission_type] = (res.v, res.y, goal_ned)
         return doc
