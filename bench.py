@@ -130,22 +130,23 @@ def main():
     # max-lane to ~group-cap cost.  Same seeds, same solves, same gate.
     GB = int(os.environ.get("BENCH_GROUP", "256"))
     DB = int(os.environ.get("BENCH_DRAIN", "128"))
-    cap1 = int(os.environ.get("BENCH_CAP1", "160"))
+    cap1 = int(os.environ.get("BENCH_CAP1", "145"))
     nlp = make_problem("S10", aircraft="tempest", ts=ts, wind_model=1,
                        dtype=dtype)
     can = canonicalize(nlp, scaling="auto")
     kkt = make_condensed_kkt(can, refine=refine, chain=chain)
 
     # Endgame numerics (tuned r04, scratch/tune_sched.py): warmer barrier
-    # start mu_init=6e-5 converges in fewer iterations AND passes more
-    # lanes (987 vs 966 / 1024, same gate); kappa_inner=2 cycles outer
-    # updates earlier at no pass-rate cost.  The dive (p1) numerics are
-    # untouched — dive length/params select the BASIN and are quality-
-    # critical (75-iter dives or adaptive exits land above the cost gate).
+    # start mu_init=6e-5 + kappa_inner=2 + a slightly stronger prox
+    # 2.5e-3 converge in fewer iterations AND pass more lanes
+    # (1003 vs 966 / 1024 at the same gate, p90 iters 224 -> 142).  The
+    # dive (p1) numerics are untouched — dive length/params select the
+    # BASIN and are quality-critical (75-iter dives, adaptive exits, and
+    # coarse-horizon dives all land above the cost gate; measured).
     p2 = _params(dtype, tol=tol, feas_tol=feas, mu_init=6e-5,
-                 kappa_inner=2.0, max_iter=cap1)
+                 kappa_inner=2.0, prox=2.5e-3, max_iter=cap1)
     p2d = _params(dtype, tol=tol, feas_tol=feas, mu_init=6e-5,
-                  kappa_inner=2.0, max_iter=max_iter)
+                  kappa_inner=2.0, prox=2.5e-3, max_iter=max_iter)
     p1 = _params(dtype, tol=1e-12, feas_tol=1e-12, prox=0.0,
                  gamma_eager=0.0, max_iter=max_iter)
     ph_n = jnp.asarray(n1, jnp.int32)
@@ -219,7 +220,7 @@ def main():
             jax.block_until_ready(merged[0])
             print(f"  groups total: {time.time() - tg0:.3f}s",
                   file=sys.stderr)
-        conv, viol, fs, its, kks, vs = [np.asarray(x)
+        conv, viol, fs, its, kks, vs = [np.array(x)   # writable copies
                                         for x in jax.device_get(merged)]
         fs = fs.astype(np.float64)
         group_iters = sum(int(np.max(its[g * GB:(g + 1) * GB]))
@@ -435,8 +436,18 @@ def main():
         from tol_tpu.config import Goal, StitchState
         from tol_tpu.mission.mission import MissionConfig, default_leg_solver
 
+        # Ensemble legs (leg_ensemble lanes of warm + perturbed + cold
+        # seeds, 48-iteration slices, first-converged-best-f winner): a
+        # single-lane solve pays ~36 ms/iteration on TPU (B=1 falls off
+        # the batched Pallas chain path), the 128-lane ensemble ~2 ms —
+        # and the serial cold-retry fallback disappears into the batch.
+        ens = int(os.environ.get("BENCH_LEG_ENS", "128"))
         mcfg = MissionConfig(aircraft="skywalker", ts=ts, wind_model=1,
-                             leg_max_iter=600)
+                             leg_max_iter=600, leg_ensemble=ens,
+                             leg_chain=(chain if ens % 128 == 0 and ens
+                                        else "cr"),
+                             leg_chunk=int(os.environ.get("BENCH_LEG_CHUNK",
+                                                          "48")))
         solve_leg = default_leg_solver(mcfg)
         # Leg 1 (cold): 400 m north.  Then replans: goal bearing shifted
         # +-10 deg and range +-10% — the receding-horizon pattern of

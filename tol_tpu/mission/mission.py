@@ -150,9 +150,43 @@ def default_leg_solver(cfg: MissionConfig) -> Callable:
                     lambda s: alm_solve(can, kkt, opts, inst=inst, params=p,
                                         state0=s, keep_state=True))(st)
 
+            # Single-dispatch helpers: per-leaf host gathers cost ~30 ms
+            # each over the tunneled TPU — fusing the ensemble seed build
+            # and the winner pick shaves ~1 s off every leg.
+            from functools import partial
+
+            @partial(jax.jit, static_argnums=(4,))
+            def build_seeds(inst, base_v, base_y, key, n_warm):
+                E = cfg.leg_ensemble
+                lbb, ubb, fxb = can.bounds(inst)
+                seed0 = can.initial_point(inst)
+                dv = 0.01 * jax.random.normal(key, (E, can.n),
+                                              seed0.dtype)
+                dv = dv.at[0].set(0.0).at[n_warm].set(0.0)
+                bases = jnp.where((jnp.arange(E) < n_warm)[:, None],
+                                  base_v[None], seed0[None])
+                v0s = jnp.clip(bases + dv, lbb[None], ubb[None])
+                v0s = jnp.where(fxb[None], lbb[None], v0s)
+                y0s = jnp.where((jnp.arange(E) < n_warm)[:, None],
+                                base_y[None],
+                                jnp.zeros((1, can.m), seed0.dtype))
+                return v0s, y0s
+
+            @jax.jit
+            def pick_winner(out):
+                conv = out.converged
+                fs = jnp.where(conv, out.f, jnp.inf)
+                w = jnp.where(jnp.any(conv), jnp.argmin(fs),
+                              jnp.argmin(out.constr_viol))
+                sel = lambda x: x[w]
+                return (w, sel(out.v), sel(out.y), sel(out.f),
+                        sel(out.converged), sel(out.kkt_err),
+                        sel(out.iterations), sel(out.constr_viol))
+
             cache[mission_type] = (nlp, can, run, run_ens, resume_ens,
-                                   pbase, pcfg)
-        nlp, can, run, run_ens, resume_ens, pbase, pcfg = cache[mission_type]
+                                   build_seeds, pick_winner, pbase, pcfg)
+        (nlp, can, run, run_ens, resume_ens, build_seeds, pick_winner,
+         pbase, pcfg) = cache[mission_type]
         inst = make_instance(pcfg, goal_ned, wind_cfg,
                              dtype=dtype, stitch=stitch)
         y0 = jnp.zeros(can.m, dtype)
@@ -176,21 +210,12 @@ def default_leg_solver(cfg: MissionConfig) -> Callable:
         if cfg.leg_ensemble > 0:
             # Seed-ensemble leg solve (see MissionConfig.leg_ensemble).
             E = cfg.leg_ensemble
-            lb, ub, fixed = can.bounds(inst)
-            seed0 = can.initial_point(inst)
-            base = v0 if used_warm else seed0
             n_warm = E // 2 if used_warm else 1
+            base = (jnp.asarray(v0) if used_warm
+                    else jnp.zeros(can.n, dtype))
             key = jax.random.PRNGKey(len(warm) * 1000 + E)
-            dv = 0.01 * jax.random.normal(key, (E, can.n), dtype=dtype)
-            dv = dv.at[0].set(0.0).at[n_warm].set(0.0)
-            bases = jnp.where((jnp.arange(E) < n_warm)[:, None],
-                              jnp.asarray(base)[None], seed0[None])
-            v0s = jnp.clip(bases + dv, lb[None], ub[None])
-            v0s = jnp.where(fixed[None], lb[None], v0s)
-            y0s = jnp.where((jnp.arange(E) < n_warm)[:, None],
-                            jnp.asarray(y0)[None],
-                            jnp.zeros((1, can.m), dtype))
             t0 = time.time()
+            v0s, y0s = build_seeds(inst, base, jnp.asarray(y0), key, n_warm)
             it = min(cfg.leg_chunk, cfg.leg_max_iter)
             out = run_ens(inst, v0s, y0s,
                           pbase._replace(max_iter=jnp.asarray(it, jnp.int32)))
@@ -202,13 +227,17 @@ def default_leg_solver(cfg: MissionConfig) -> Callable:
                 out = resume_ens(
                     inst, out.state,
                     pbase._replace(max_iter=jnp.asarray(it, jnp.int32)))
-            fs = np.asarray(out.f, np.float64)
-            if conv.any():
-                fs_m = np.where(conv, fs, np.inf)
-                winner = int(np.argmin(fs_m))
-            else:  # no lane certified: report the most feasible one
-                winner = int(np.argmin(np.asarray(out.constr_viol)))
-            res = jax.tree_util.tree_map(lambda x: x[winner], out)
+            picked = pick_winner(out)
+            # one batched host pull for all the scalars the doc reads
+            (w_, _, _, f_, conv_, kkt_, it_, viol_) = jax.device_get(picked)
+
+            class _Res:
+                v, y = picked[1], picked[2]          # stay on device
+                f, converged, kkt_err = float(f_), bool(conv_), float(kkt_)
+                iterations, constr_viol = int(it_), float(viol_)
+
+            res = _Res()
+            winner = int(w_)
             solve_s = time.time() - t0
         else:
             t0 = time.time()
