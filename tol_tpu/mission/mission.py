@@ -108,6 +108,9 @@ def default_leg_solver(cfg: MissionConfig) -> Callable:
         return WindConfig(model=cfg.wind_model)
 
     def solve_leg(mission_type: str, goal_ned: Goal, stitch=None, v0=None):
+        import os as _os
+
+        dbg = _os.environ.get("TOL_LEG_DEBUG", "0") == "1"
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         wind_cfg = _wind_config()
         if mission_type not in cache:
@@ -153,10 +156,12 @@ def default_leg_solver(cfg: MissionConfig) -> Callable:
             # Single-dispatch helpers: per-leaf host gathers cost ~30 ms
             # each over the tunneled TPU — fusing the ensemble seed build
             # and the winner pick shaves ~1 s off every leg.
-            from functools import partial
-
-            @partial(jax.jit, static_argnums=(4,))
+            @jax.jit
             def build_seeds(inst, base_v, base_y, key, n_warm):
+                # n_warm is a traced scalar: the 1 -> E//2 flip on the
+                # first warm leg must not retrace (a retrace costs ~5 s
+                # through the remote compiler and lands in that leg's
+                # latency).
                 E = cfg.leg_ensemble
                 lbb, ubb, fxb = can.bounds(inst)
                 seed0 = can.initial_point(inst)
@@ -215,21 +220,33 @@ def default_leg_solver(cfg: MissionConfig) -> Callable:
                     else jnp.zeros(can.n, dtype))
             key = jax.random.PRNGKey(len(warm) * 1000 + E)
             t0 = time.time()
-            v0s, y0s = build_seeds(inst, base, jnp.asarray(y0), key, n_warm)
+            v0s, y0s = build_seeds(inst, base, jnp.asarray(y0), key,
+                                   jnp.asarray(n_warm, jnp.int32))
+            if dbg:
+                jax.block_until_ready(v0s)
+                print(f"    seeds: {time.time() - t0:.3f}s", flush=True)
             it = min(cfg.leg_chunk, cfg.leg_max_iter)
+            tc = time.time()
             out = run_ens(inst, v0s, y0s,
                           pbase._replace(max_iter=jnp.asarray(it, jnp.int32)))
             while True:
                 conv = np.asarray(out.converged)
+                if dbg:
+                    print(f"    chunk@{it}: {time.time() - tc:.3f}s "
+                          f"conv={int(conv.sum())}", flush=True)
+                    tc = time.time()
                 if conv.any() or it >= cfg.leg_max_iter:
                     break
                 it = min(it + cfg.leg_chunk, cfg.leg_max_iter)
                 out = resume_ens(
                     inst, out.state,
                     pbase._replace(max_iter=jnp.asarray(it, jnp.int32)))
+            tp = time.time()
             picked = pick_winner(out)
             # one batched host pull for all the scalars the doc reads
             (w_, _, _, f_, conv_, kkt_, it_, viol_) = jax.device_get(picked)
+            if dbg:
+                print(f"    pick: {time.time() - tp:.3f}s", flush=True)
 
             class _Res:
                 v, y = picked[1], picked[2]          # stay on device
@@ -250,6 +267,7 @@ def default_leg_solver(cfg: MissionConfig) -> Callable:
                           jnp.zeros(can.m, dtype))
                 jax.block_until_ready(res.v)
             solve_s = time.time() - t0
+        td = time.time()
         Z, dt, _ = can.split(can.to_physical(res.v))
         f_phys = float(res.f) / float(can.scaling.s_f)
         doc = results_document(pcfg, goal_ned, Z, dt, f_phys,

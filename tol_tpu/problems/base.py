@@ -84,33 +84,28 @@ def node_bounds(
     course (src/problem.cpp:272-285).  Note dCL's bound reuses ``phidotmax``
     exactly as the reference does (src/problem.cpp:283).
     """
+    # Pure-numpy host-side construction: instance bounds are data prep,
+    # and eager jnp ops here would each pay a device dispatch (and a
+    # first-call kernel compile) on a remote TPU backend — measured ~5 s
+    # on the first stitched mission leg before this was host-side.
     ac, lm, bx = aircraft, limits, boxes
-    xi, yi, zi = [jnp.asarray(c, dtype=dtype) for c in start_ned]
-    lo0 = jnp.stack([xi, yi, zi,
-                     jnp.asarray(bx.Va1, dtype), jnp.asarray(bx.gamma1, dtype),
-                     jnp.asarray(bx.chi1, dtype), jnp.asarray(bx.phi1, dtype),
-                     jnp.asarray(bx.CL1, dtype), jnp.asarray(bx.phidot1, dtype),
-                     jnp.asarray(bx.CLdot1, dtype), jnp.asarray(0.0, dtype)])
-    up0 = jnp.stack([xi, yi, zi,
-                     jnp.asarray(bx.Va2, dtype), jnp.asarray(bx.gamma2, dtype),
-                     jnp.asarray(bx.chi2, dtype), jnp.asarray(bx.phi2, dtype),
-                     jnp.asarray(bx.CL2, dtype), jnp.asarray(bx.phidot2, dtype),
-                     jnp.asarray(bx.CLdot2, dtype), jnp.asarray(1e20, dtype)])
-    lo = jnp.stack([jnp.asarray(lm.xmin, dtype), jnp.asarray(lm.ymin, dtype),
-                    jnp.asarray(lm.zmin, dtype), jnp.asarray(ac.Vamin, dtype),
-                    -jnp.asarray(ac.gammamax, dtype), jnp.asarray(-1e20, dtype),
-                    -jnp.asarray(ac.phimax, dtype), jnp.asarray(ac.CLmin, dtype),
-                    -jnp.asarray(ac.phidotmax, dtype), -jnp.asarray(ac.phidotmax, dtype),
-                    jnp.asarray(ac.Tmin, dtype)])
-    up = jnp.stack([jnp.asarray(lm.xmax, dtype), jnp.asarray(lm.ymax, dtype),
-                    jnp.asarray(lm.zmax, dtype), jnp.asarray(ac.Vamax, dtype),
-                    jnp.asarray(ac.gammamax, dtype), jnp.asarray(1e20, dtype),
-                    jnp.asarray(ac.phimax, dtype), jnp.asarray(ac.CLmax, dtype),
-                    jnp.asarray(ac.phidotmax, dtype), jnp.asarray(ac.phidotmax, dtype),
-                    jnp.asarray(ac.Tmax, dtype)])
-    z_lo = jnp.concatenate([lo0[None, :], jnp.tile(lo[None, :], (ts, 1))])
-    z_up = jnp.concatenate([up0[None, :], jnp.tile(up[None, :], (ts, 1))])
-    return z_lo, z_up
+    fl = lambda x: float(np.asarray(x))
+    xi, yi, zi = [fl(c) for c in start_ned]
+    lo0 = np.array([xi, yi, zi, fl(bx.Va1), fl(bx.gamma1), fl(bx.chi1),
+                    fl(bx.phi1), fl(bx.CL1), fl(bx.phidot1), fl(bx.CLdot1),
+                    0.0])
+    up0 = np.array([xi, yi, zi, fl(bx.Va2), fl(bx.gamma2), fl(bx.chi2),
+                    fl(bx.phi2), fl(bx.CL2), fl(bx.phidot2), fl(bx.CLdot2),
+                    1e20])
+    lo = np.array([fl(lm.xmin), fl(lm.ymin), fl(lm.zmin), fl(ac.Vamin),
+                   -fl(ac.gammamax), -1e20, -fl(ac.phimax), fl(ac.CLmin),
+                   -fl(ac.phidotmax), -fl(ac.phidotmax), fl(ac.Tmin)])
+    up = np.array([fl(lm.xmax), fl(lm.ymax), fl(lm.zmax), fl(ac.Vamax),
+                   fl(ac.gammamax), 1e20, fl(ac.phimax), fl(ac.CLmax),
+                   fl(ac.phidotmax), fl(ac.phidotmax), fl(ac.Tmax)])
+    z_lo = np.concatenate([lo0[None, :], np.tile(lo[None, :], (ts, 1))])
+    z_up = np.concatenate([up0[None, :], np.tile(up[None, :], (ts, 1))])
+    return jnp.asarray(z_lo, dtype), jnp.asarray(z_up, dtype)
 
 
 # Stitching slacks around the previous leg's terminal state
@@ -148,15 +143,17 @@ def apply_stitch(z_lo: jax.Array, z_up: jax.Array,
     clipped into the airframe/limit boxes (the node>=1 rows) so a stitch
     state at an airframe limit cannot produce an empty box.
     """
+    # Host-side numpy (see node_bounds): avoids per-op device dispatch
+    # and first-call kernel compiles in the mission hot path.
     dtype = z_lo.dtype
-    s = jnp.asarray(
-        jnp.stack([jnp.asarray(v, dtype) for v in stitch]), dtype)
-    slack = jnp.asarray(_STITCH_SLACK, dtype)
-    lo = jnp.clip(s - slack, z_lo[1, 3:], z_up[1, 3:])
-    up = jnp.clip(s + slack, z_lo[1, 3:], z_up[1, 3:])
-    z_lo = z_lo.at[0, 3:].set(lo)
-    z_up = z_up.at[0, 3:].set(up)
-    return z_lo, z_up
+    zl = np.array(z_lo)
+    zu = np.array(z_up)
+    s = np.array([float(np.asarray(v)) for v in stitch])
+    lo = np.clip(s - _STITCH_SLACK, zl[1, 3:], zu[1, 3:])
+    up = np.clip(s + _STITCH_SLACK, zl[1, 3:], zu[1, 3:])
+    zl[0, 3:] = lo
+    zu[0, 3:] = up
+    return jnp.asarray(zl, dtype), jnp.asarray(zu, dtype)
 
 
 @dataclasses.dataclass(frozen=True)
