@@ -97,11 +97,14 @@ def main():
                    "feasible": int(sum(v["feas"] for v in r2.values())
                                    / len(r2))},
         "throughput_ratio_2p_over_1p": round(thr2 / thr1, 3),
-        "note": ("both processes share one 2-core CPU: the silicon-shared "
-                 "ideal ratio is 1.0 (same total throughput), dedicated-"
-                 "host ideal would be 2.0; this measures mechanism "
-                 "overhead (mesh assembly + gloo collectives), not "
-                 "hardware scaling"),
+        "linear_scaling_pct": round(100.0 * thr2 / (2.0 * thr1), 1),
+        "note": ("weak scaling on one 2-core box: each process owns one "
+                 "core (DEV_PER_PROC=1), so 2 processes vs 1 is a genuine "
+                 "1->2 'host' measurement for the mechanism (global mesh "
+                 "assembly + gloo collectives + allgather); ideal ratio "
+                 "2.0.  'feasible' counts lanes under 1e-4 at the FIXED "
+                 "40-iteration budget (a work-normalization device, not a "
+                 "solve-to-convergence run)."),
     }
 
     # -- real-hardware 10k number: reuse the bench machinery if a result
