@@ -162,3 +162,67 @@ def test_waypoint_upload():
     wp = m.ap.uploaded[0][0]
     assert abs(wp["lat"] - m.cfg.datum_lat) < 0.05
     assert wp["speed"] == pytest.approx(15.0)
+
+
+def test_wind_refresh_reloads_grid_per_leg(tmp_path):
+    """Live wind-field refresh (the reference re-queries the storm DB in
+    every problem ctor, src/problem.cpp:371-469): with wind_refresh the
+    leg solver re-reads the TOLWGRID cache before EVERY leg and the new
+    field values reach the solver instance; without it the grid loads
+    once.  The grid is instance data, so a refresh never recompiles."""
+    import numpy as np
+
+    from tol_tpu.io.native import write_wind_grid
+    from tol_tpu.mission.mission import default_leg_solver
+
+    nx, ny, nz = 4, 4, 3
+    path = str(tmp_path / "wind.TOLWGRID")
+
+    def write(vval):
+        write_wind_grid(path, (17000.0, 25500.0, 0.0), (150.0, 150.0, 150.0),
+                        np.zeros((nx, ny, nz)),
+                        np.full((nx, ny, nz), vval),
+                        np.zeros((nx, ny, nz)))
+
+    write(1.0)
+    calls = {"n": 0}
+    import tol_tpu.io.native as native
+
+    real = native.read_wind_grid
+
+    def counting(p):
+        calls["n"] += 1
+        return real(p)
+
+    cfg = MissionConfig(ts=8, wind_model=3, wind_grid_path=path,
+                        wind_refresh=True, leg_max_iter=150,
+                        leg_tol=1e-3, leg_feas_tol=1e-4)
+    solver = default_leg_solver(cfg)
+    native_read = native.read_wind_grid
+    native.read_wind_grid = counting
+    try:
+        d1 = solver("S10", Goal(xg=-100.0, yg=0.0, zg=0.0, rg=100.0))
+        write(5.0)   # storm update lands on disk between legs
+        d2 = solver("S10", Goal(xg=-100.0, yg=0.0, zg=0.0, rg=100.0))
+    finally:
+        native.read_wind_grid = native_read
+    assert calls["n"] == 2          # one read per leg
+    # the refreshed field actually reaches the solve: a 5x stronger
+    # uniform wind changes the converged loiter trajectory
+    z1 = np.asarray(d1["trajectory"]["chi"])
+    z2 = np.asarray(d2["trajectory"]["chi"])
+    assert not np.allclose(z1, z2, atol=1e-6)
+
+    # refresh off: a second solver instance loads the grid exactly once
+    calls["n"] = 0
+    cfg2 = MissionConfig(ts=8, wind_model=3, wind_grid_path=path,
+                         wind_refresh=False, leg_max_iter=150,
+                         leg_tol=1e-3, leg_feas_tol=1e-4)
+    solver2 = default_leg_solver(cfg2)
+    native.read_wind_grid = counting
+    try:
+        solver2("S10", Goal(xg=-100.0, yg=0.0, zg=0.0, rg=100.0))
+        solver2("S10", Goal(xg=-100.0, yg=0.0, zg=0.0, rg=100.0))
+    finally:
+        native.read_wind_grid = native_read
+    assert calls["n"] == 1
