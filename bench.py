@@ -364,11 +364,13 @@ def main():
                              dtype=dtype)
         can_g = canonicalize(nlp_g, scaling="auto")
         kkt_g = make_condensed_kkt(can_g, refine=refine, chain=chain)
-        # Measured G7 configuration (see tests/test_solver.py::
-        # test_g7_ts100_float32_converges): no exploration phase, float32-
-        # safe gamma floor 5e-6, prox 1e-3.
+        # Measured G7 configuration: no exploration phase, float32-safe
+        # gamma floor 5e-6; r04 retune (scratch/tune_g7b.py) — the same
+        # warm-barrier endgame as S10 (mu_init 6e-5, kappa_inner 2,
+        # prox 2.5e-3) takes G7 from 253/256 at median 438 iterations to
+        # 256/256 at median 303.
         p_g = _params(dtype, tol=tol, feas_tol=feas, gamma_min=5e-6,
-                      prox=1e-3,
+                      prox=2.5e-3, mu_init=6e-5, kappa_inner=2.0,
                       max_iter=int(os.environ.get("BENCH_G7_ITER", "600")))
         ph_g = Phase1(params=p_g, n_max=jnp.asarray(0, jnp.int32),
                       exit_df=jnp.asarray(-1.0, dtype), patience=3)
