@@ -65,7 +65,7 @@ def test_sharded_batch_solve_converges():
 def test_timeshard_defects_match():
     """sp-sharded defect evaluation (halo via ppermute) == unsharded."""
     mesh = make_mesh(n_dp=2, n_sp=4)
-    nlp = make_problem("S10", aircraft="tempest", ts=16, wind_model=1)
+    nlp = make_problem("S10", aircraft="tempest", ts=8, wind_model=1)
     Z, dt = nlp.seed()
     ref = np.asarray(nlp.all_defects(Z, dt))
     with mesh:
@@ -79,7 +79,7 @@ def test_timeshard_defects_match():
 def test_timeshard_full_sp_axis():
     """All 8 devices on the time axis."""
     mesh = make_mesh(n_dp=1, n_sp=8)
-    nlp = make_problem("S10", aircraft="tempest", ts=24, wind_model=1)
+    nlp = make_problem("S10", aircraft="tempest", ts=16, wind_model=1)
     Z, dt = nlp.seed()
     ref = np.asarray(nlp.all_defects(Z, dt))
     with mesh:
