@@ -45,7 +45,11 @@ def _dense_oracle(mission, ts):
     v, y, sigma, rhs_v, rhs_c = _state(can)
     dw = 300.0
     dc = jnp.full((can.m,), 0.05)
-    dv_d, dy_d = make_dense_kkt(can)(v, y, sigma, dw, dc, rhs_v, rhs_c)
+    # jit everything here and in the parity tests: eagerly these solves
+    # are ~50 s of op-by-op dispatch that no cache can help; jitted they
+    # compile once and replay from the persistent compile cache.
+    dv_d, dy_d = jax.jit(make_dense_kkt(can))(v, y, sigma, dw, dc,
+                                              rhs_v, rhs_c)
     return can, (v, y, sigma, rhs_v, rhs_c), dw, dc, dv_d, dy_d
 
 
@@ -54,7 +58,7 @@ def test_condensed_matches_dense(mission, ts):
     """The condensed-primal backend solves the exact same saddle system."""
     can, (v, y, sigma, rhs_v, rhs_c), dw, dc, dv_d, dy_d = \
         _dense_oracle(mission, ts)
-    cond = make_condensed_kkt(can)
+    cond = jax.jit(make_condensed_kkt(can))
     dv_s, dy_s = cond(v, y, sigma, dw, dc, rhs_v, rhs_c)
     scale = max(1.0, float(jnp.max(jnp.abs(dv_d))))
     np.testing.assert_allclose(np.asarray(dv_s), np.asarray(dv_d), atol=1e-9 * scale)
@@ -67,7 +71,7 @@ def test_structured_matches_dense(mission, ts):
     can, (v, y, sigma, rhs_v, rhs_c), dw, dc, dv_d, dy_d = \
         _dense_oracle(mission, ts)   # dw=300: every node block PD
     # convexify off: compare the *exact* systems (needs a PD shift).
-    struct = make_structured_kkt(can, convexify=False)
+    struct = jax.jit(make_structured_kkt(can, convexify=False))
     dv_s, dy_s = struct(v, y, sigma, dw, dc, rhs_v, rhs_c)
     assert np.all(np.isfinite(np.asarray(dv_s)))
     scale = float(jnp.max(jnp.abs(dv_d)))
@@ -82,7 +86,7 @@ def test_convexified_backend_descent_directions():
     (regularized) system even where the exact Hessian is indefinite."""
     nlp = make_problem("S10", aircraft="tempest", ts=8, wind_model=1)
     can = canonicalize(nlp)
-    struct = make_structured_kkt(can, convexify=True)
+    struct = jax.jit(make_structured_kkt(can, convexify=True))
     v, y, sigma, rhs_v, rhs_c = _state(can, seed=3, y_scale=2.0)
     dc = jnp.full((can.m,), 0.1)
     dv, dy = struct(v, y, sigma, 0.0, dc, rhs_v, rhs_c)
@@ -106,8 +110,8 @@ def test_pallas_chain_matches_dense(mission, ts):
     pk = make_condensed_kkt(can, chain="pallas")
     B = 128
     tile = lambda a: jnp.broadcast_to(a, (B,) + a.shape)
-    dv_p, dy_p = jax.vmap(
-        lambda vv, yy, ss, rv, rc: pk(vv, yy, ss, dw, dc, rv, rc))(
+    dv_p, dy_p = jax.jit(jax.vmap(
+        lambda vv, yy, ss, rv, rc: pk(vv, yy, ss, dw, dc, rv, rc)))(
         tile(v), tile(y), tile(sigma), tile(rhs_v), tile(rhs_c))
     scale = max(1.0, float(jnp.max(jnp.abs(dv_d))))
     np.testing.assert_allclose(np.asarray(dv_p[0]), np.asarray(dv_d),
@@ -128,7 +132,7 @@ def test_cyclic_reduction_matches_dense(mission, ts):
     for coverage those chain-level tests already provide.)"""
     can, (v, y, sigma, rhs_v, rhs_c), dw, dc, dv_d, dy_d = \
         _dense_oracle(mission, ts)
-    cr = make_condensed_kkt(can, chain="cr")
+    cr = jax.jit(make_condensed_kkt(can, chain="cr"))
     dv_s, dy_s = cr(v, y, sigma, dw, dc, rhs_v, rhs_c)
     scale = max(1.0, float(jnp.max(jnp.abs(dv_d))))
     np.testing.assert_allclose(np.asarray(dv_s), np.asarray(dv_d), atol=1e-9 * scale)
@@ -144,7 +148,7 @@ def test_spike_matches_dense(mission, ts):
     padding to a multiple of the segment length."""
     can, (v, y, sigma, rhs_v, rhs_c), dw, dc, dv_d, dy_d = \
         _dense_oracle(mission, ts)
-    sp = make_condensed_kkt(can, chain="spike")
+    sp = jax.jit(make_condensed_kkt(can, chain="spike"))
     dv_s, dy_s = sp(v, y, sigma, dw, dc, rhs_v, rhs_c)
     scale = max(1.0, float(jnp.max(jnp.abs(dv_d))))
     np.testing.assert_allclose(np.asarray(dv_s), np.asarray(dv_d), atol=1e-9 * scale)
