@@ -152,39 +152,12 @@ def main():
     ph_n = jnp.asarray(n1, jnp.int32)
     ph_df = jnp.asarray(-1.0, dtype)   # fixed-length dive (measured best)
 
-    # Group program: ONE instance per group (config 1: all lanes share
-    # inst0; config 3: each 256-lane group is a single airframe), so the
-    # per-step instance gathers/bounds rebuilds vanish from the hot loop.
-    # The drain program keeps per-lane instances (its chunks mix groups).
-    @jax.jit
-    def run_s10(inst, v0s, p1, p2, n_max, exit_df):
-        ph = Phase1(params=p1, n_max=n_max, exit_df=exit_df, patience=3)
-        return jax.vmap(lambda v: alm_solve(can, kkt, opts, inst=inst,
-                                            v0=v, params=p2,
-                                            phase1=ph,
-                                            keep_state=True))(v0s)
+    # Grouped execution + straggler drain now live in the package
+    # (tol_tpu/solver/batch.py) — the bench consumes the production path.
+    from tol_tpu.solver.batch import make_grouped_solver
 
-    @jax.jit
-    def run_drain(insts, st, p1, p2, n_max, exit_df):
-        ph = Phase1(params=p1, n_max=n_max, exit_df=exit_df, patience=3)
-        return jax.vmap(lambda i, s: alm_solve(can, kkt, opts, inst=i,
-                                               params=p2, phase1=ph,
-                                               state0=s))(insts, st)
-
-    # One fused dispatch for the straggler gather: the TPU here sits
-    # behind a tunnel, so tree_map-per-leaf host-side gathers cost ~2 s of
-    # pure dispatch latency per drain chunk (measured) — catastrophic next
-    # to the ~0.2 s of actual drain compute.
-    @jax.jit
-    def _merge_fields(fields):
-        return tuple(jnp.concatenate(xs) for xs in zip(*fields))
-
-    @jax.jit
-    def gather_chunk(states, insts, pad):
-        st_all = jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs)[pad], *states)
-        ii = jax.tree_util.tree_map(lambda x: x[pad], insts)
-        return st_all, ii
+    gsolve = make_grouped_solver(can, kkt, opts, group_size=GB,
+                                 drain_size=DB)
 
     def seeds_for(insts, key, n):
         v0 = jax.vmap(can.initial_point)(insts)
@@ -193,91 +166,29 @@ def main():
         v0s = jnp.clip(v0 + dv, lb, ub)
         return jnp.where(fixed, lb, v0s)
 
-    def run_batched(group_insts, insts, v0s):
-        """Group solves (one shared instance per group) + straggler drain
-        (per-lane instances); returns merged result arrays and the
-        executed-iteration tally (flops accounting)."""
-        import sys
-
-        dbg = os.environ.get("BENCH_DEBUG", "0") == "1"
-        n = v0s.shape[0]
-        outs = []
-        tg0 = time.time()
-        for g, gi in enumerate(group_insts):
-            k = g * GB
-            outs.append(run_s10(gi, v0s[k:k + GB], p1, p2, ph_n, ph_df))
-            if dbg:
-                jax.block_until_ready(outs[-1].f)
-                print(f"  group {g}: {time.time() - tg0:.3f}s cumulative",
-                      file=sys.stderr)
-        # ONE fused merge + ONE host pull: per-array np.asarray transfers
-        # over the tunneled TPU cost ~30 ms of latency each (measured
-        # ~0.8 s total at 4 groups x 6 fields).
-        fields = [(o.converged, o.constr_viol, o.f, o.iterations,
-                   o.kkt_err, o.v) for o in outs]
-        merged = _merge_fields(fields)
-        if dbg:
-            jax.block_until_ready(merged[0])
-            print(f"  groups total: {time.time() - tg0:.3f}s",
-                  file=sys.stderr)
-        conv, viol, fs, its, kks, vs = [np.array(x)   # writable copies
-                                        for x in jax.device_get(merged)]
-        fs = fs.astype(np.float64)
-        group_iters = sum(int(np.max(its[g * GB:(g + 1) * GB]))
-                          for g in range(len(outs)))
-        drain_iters = 0
-        idx = np.flatnonzero(~conv)
-        if dbg:
-            td0 = time.time()
-        if len(idx):
-            states = [o.state for o in outs]
-            chunks = []
-            for k0 in range(0, len(idx), DB):
-                sel = idx[k0:k0 + DB]
-                pad = np.concatenate([sel, np.zeros(DB - len(sel), int)])
-                sti, ii = gather_chunk(states, insts, jnp.asarray(pad))
-                od = run_drain(ii, sti, p1, p2d, ph_n, ph_df)
-                chunks.append((sel, od))
-            dm = _merge_fields([(od.converged, od.constr_viol, od.f,
-                                 od.iterations, od.kkt_err, od.v)
-                                for _, od in chunks])
-            dconv, dviol, dfs, dits, dkks, dvs = [
-                np.asarray(x) for x in jax.device_get(dm)]
-            for ci, (sel, _) in enumerate(chunks):
-                m, o0 = len(sel), ci * DB
-                conv[sel] = dconv[o0:o0 + m]
-                viol[sel] = dviol[o0:o0 + m]
-                fs[sel] = dfs[o0:o0 + m].astype(np.float64)
-                its[sel] = dits[o0:o0 + m]
-                kks[sel] = dkks[o0:o0 + m]
-                vs[sel] = dvs[o0:o0 + m]
-                drain_iters += max(
-                    0, int(dits[o0:o0 + m].max()) - cap1)
-        if dbg:
-            print(f"  drain ({len(idx)} lanes): {time.time() - td0:.3f}s",
-                  file=sys.stderr)
-        return conv, viol, fs, its, kks, vs, group_iters, drain_iters
-
     inst1 = _stack_instances([can.nlp.inst0] * batch)
     g_insts1 = [can.nlp.inst0] * (batch // GB)
     v0s = seeds_for(inst1, jax.random.PRNGKey(0), batch)
 
     t0 = time.time()
-    run_batched(g_insts1, inst1, v0s)  # compile + warm every program path
+    gsolve(g_insts1, inst1, v0s, p1, p2, p2d, n1, -1.0)   # compile + warm
     compile_s["s10"] = round(time.time() - t0, 1)
     t0 = time.time()
-    (conv, viol, out_f, iters, out_kkt, out_v,
-     group_iters, drain_iters) = run_batched(g_insts1, inst1, v0s)
+    res1 = gsolve(g_insts1, inst1, v0s, p1, p2, p2d, n1, -1.0)
     elapsed = time.time() - t0
     compile_s["s10"] = round(compile_s["s10"] - elapsed, 1)
+    conv, viol, out_f, iters, out_kkt, out_v = (
+        res1.converged, res1.constr_viol, res1.f, res1.iterations,
+        res1.kkt_err, res1.v)
+    group_iters, drain_iters = res1.group_iters, res1.drain_iters
 
     # FLOP/MFU accounting (VERDICT r04 ask #2): XLA cost analysis counts
     # the while-loop body once, so program_flops(group program) ~ flops of
     # ONE batched solver iteration; achieved = flops/iter * iters paid.
     from tol_tpu.utils.flops import peak_flops, program_flops
 
-    flops_per_iter = program_flops(run_s10, can.nlp.inst0, v0s[:GB], p1, p2,
-                                   ph_n, ph_df)
+    flops_per_iter = program_flops(gsolve.run_group, can.nlp.inst0,
+                                   v0s[:GB], p1, p2, ph_n, ph_df)
     achieved = (flops_per_iter * (group_iters + (DB / GB) * drain_iters)
                 / elapsed)
     peak = peak_flops()
@@ -334,10 +245,11 @@ def main():
         # default batch 1024 / GB 256)
         g_insts3 = [singles[(g * GB) // per] for g in range(batch // GB)]
         v3 = seeds_for(inst3, jax.random.PRNGKey(2), batch)
-        run_batched(g_insts3, inst3, v3)       # warm (same programs)
+        gsolve(g_insts3, inst3, v3, p1, p2, p2d, n1, -1.0)  # warm
         t0 = time.time()
-        c3, v3viol, _, _, _, _, _, _ = run_batched(g_insts3, inst3, v3)
+        res3 = gsolve(g_insts3, inst3, v3, p1, p2, p2d, n1, -1.0)
         w3 = time.time() - t0
+        c3, v3viol = res3.converged, res3.constr_viol
         f3 = v3viol < feas
         sweep = {
             "airframes": names, "batch": batch,

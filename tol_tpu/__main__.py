@@ -33,9 +33,12 @@ def solve_cli(argv):
     p.add_argument("--out", default="snopt_results.json")
     p.add_argument("--ts", type=int, default=None)
     p.add_argument("--wind-model", type=int, default=1)
-    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--tol", type=float, default=None,
+                   help="KKT tolerance (default: 1e-6 on f64, 5e-3 f32)")
     p.add_argument("--max-iter", type=int, default=800)
     args = p.parse_args(argv)
+
+    import jax
 
     from tol_tpu.api import make_config, make_problem
     from tol_tpu.config import Goal
@@ -48,18 +51,28 @@ def solve_cli(argv):
     goal = Goal(xg=args.north_goal, yg=args.east_goal, zg=-args.up_goal,
                 rg=args.radius_goal)
     print(f"TOL STATUS: Building {args.mission}...", flush=True)
+    # Production configuration (the same family as the mission layer):
+    # nondimensionalized problem, structured chain, float32-safe
+    # schedules — the unscaled path is a CPU/f64 oracle only.
+    x64 = jax.config.jax_enable_x64
+    tol = args.tol if args.tol is not None else (1e-6 if x64 else 5e-3)
     nlp = make_problem(args.mission, aircraft=args.aircraft, ts=args.ts,
                        wind_model=args.wind_model, goal=goal)
-    can = canonicalize(nlp)
-    kkt = make_condensed_kkt(can)
+    can = canonicalize(nlp, scaling="auto")
+    kkt = make_condensed_kkt(can, refine=1, chain="cr")
     print("TOL STATUS: Solving now", flush=True)
     res = alm_solve(can, kkt,
-                    ALMOptions(tol=args.tol, feas_tol=1e-5,
-                               max_iter=args.max_iter))
-    Z, dt, _ = can.split(res.v)
+                    ALMOptions(tol=tol, feas_tol=(1e-5 if x64 else 1e-4),
+                               max_iter=args.max_iter, gamma_init=0.01,
+                               gamma_min=5e-6, gamma_shrink=0.2,
+                               gamma_eager=True, mu_init=6e-5,
+                               mu_shrink=0.1, kappa_inner=2.0,
+                               prox=2.5e-3, dual_refine_k=4))
+    Z, dt, _ = can.split(can.to_physical(res.v))
     cfg = make_config(args.mission, args.aircraft, ts=args.ts,
                       wind_model=args.wind_model)
-    doc = results_document(cfg, goal, Z, dt, res.f,
+    f_phys = float(res.f) / float(can.scaling.s_f)
+    doc = results_document(cfg, goal, Z, dt, f_phys,
                            aircraft_name=args.aircraft,
                            east=args.east, north=args.north, up=args.up)
     doc["converged"] = bool(res.converged)
