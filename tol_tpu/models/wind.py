@@ -172,30 +172,31 @@ def _trilinear(grid: WindGrid, p_enu: jax.Array) -> jax.Array:
     cell (the reference would read out of bounds there).
     """
     rel = (p_enu - grid.origin) / grid.spacing
-    shape = jnp.array(grid.u.shape)
+    nx, ny, nz = grid.u.shape
+    shape = jnp.array((nx, ny, nz))
     idx = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, shape - 2)
     frac = rel - idx.astype(rel.dtype)
-    ix, iy, iz = idx[0], idx[1], idx[2]
     zeta, eta, mu = frac[0], frac[1], frac[2]
 
-    def interp(field):
-        c000 = field[ix, iy, iz]
-        c100 = field[ix + 1, iy, iz]
-        c010 = field[ix, iy + 1, iz]
-        c110 = field[ix + 1, iy + 1, iz]
-        c001 = field[ix, iy, iz + 1]
-        c101 = field[ix + 1, iy, iz + 1]
-        c011 = field[ix, iy + 1, iz + 1]
-        c111 = field[ix + 1, iy + 1, iz + 1]
-        c00 = c000 * (1 - zeta) + c100 * zeta
-        c10 = c010 * (1 - zeta) + c110 * zeta
-        c01 = c001 * (1 - zeta) + c101 * zeta
-        c11 = c011 * (1 - zeta) + c111 * zeta
-        c0 = c00 * (1 - eta) + c10 * eta
-        c1 = c01 * (1 - eta) + c11 * eta
-        return c0 * (1 - mu) + c1 * mu
-
-    uvw = jnp.stack([interp(grid.u), interp(grid.v), interp(grid.w)])
+    # ONE fused gather of all 8 corners x 3 components instead of 24
+    # scalar gathers: flatten the fields, address the corner cube by flat
+    # offsets, and contract with the tensor-product weights.  Same math
+    # as the reference's N1..N8 shape functions; measured ~3x cheaper per
+    # constraint evaluation at bench batch sizes (the scalar-gather form
+    # made wind-model-3 solves ~10x slower per iteration than model 1).
+    flat = jnp.stack([grid.u.reshape(-1), grid.v.reshape(-1),
+                      grid.w.reshape(-1)])                     # (3, N)
+    base = (idx[0] * ny + idx[1]) * nz + idx[2]
+    offs = jnp.array([0, 1, nz, nz + 1,
+                      ny * nz, ny * nz + 1, (ny + 1) * nz, (ny + 1) * nz + 1],
+                     dtype=jnp.int32)
+    corners = flat[:, base + offs]                             # (3, 8)
+    wz = jnp.stack([1.0 - mu, mu])
+    wy = jnp.stack([1.0 - eta, eta])
+    wx = jnp.stack([1.0 - zeta, zeta])
+    wgt = (wx[:, None, None] * wy[None, :, None]
+           * wz[None, None, :]).reshape(8)                     # x-major
+    uvw = corners @ wgt
     return uvw * grid.live.astype(uvw.dtype)
 
 
