@@ -31,18 +31,21 @@ depth elimination order is what preserves the Newton direction's flat-
 valley components in float32 (sequential orderings plateau ~40% above
 the optimality gate; see tol_tpu/ops/crkern.py).
 
-Execution geometry (r04): the batch runs as independent 256-lane groups
+Execution geometry (r04): the batch runs through
+tol_tpu.solver.batch.make_grouped_solver — independent 256-lane groups
 (per-lane iteration cost is ~30% cheaper at B=256 than B=1024 on this
-chip, measured in scratch/time_iter.py), and after the group-level
-iteration cap the unconverged stragglers are gathered into 128-lane
-drain chunks that resume exactly (ALMState handoff) and finish the full
-budget — the batch stops paying max-lane cost.  Identical seeds, solves
-and gate constants; the detail block reports flops/iteration and MFU.
+chip, measured in scratch/time_iter.py), then the unconverged stragglers
+gather into 128-lane drain chunks that resume exactly (ALMState handoff)
+and finish the full budget — the batch stops paying max-lane cost.
+Identical seeds, solves and gate constants; the detail block reports
+flops/iteration and MFU.
 
 Configs (BASELINE.json):
   1. S10-Tempest ts=100, batch 1024      -> the headline gate
-  2. G7-Skywalker ts=100, batch 256      -> converged count (the G7 gate
-     is convergence at working tolerances; no external golden exists)
+  2. G7-Skywalker ts=100, batch 256      -> KKT-certificate + feasibility
+     gate; cost gap vs tests/g7_bestknown_ts100.npy is informational
+     only — the G7 cost rides an 84x-range quasi-flat soaring valley
+     (see BASELINE.md and tests/test_external_oracle.py)
   3. Multi-airframe sweep (tempest, tempest_eric, tempest_wences,
      tempest_will x 256) — reuses config 1's compiled program (instances
      are runtime data)
