@@ -88,5 +88,12 @@ if e("SWEEP", "0") == "1":
     for kw in (dict(dual_k=0), dict(max_ls=8), dict(refine=0),
                dict(chain="pallas"), dict(B=512), dict(B=256)):
         measure(**{**base, **kw})
+elif e("SWEEP", "0") == "r5":
+    # Round-5 throughput sweep at the production group size.
+    measure(**base)                                   # bench baseline
+    for kw in (dict(max_ls=6), dict(max_ls=4), dict(dual_k=2),
+               dict(dual_k=0), dict(refine=0), dict(B=128), dict(B=192),
+               dict(B=384), dict(max_ls=6, dual_k=2)):
+        measure(**{**base, **kw})
 else:
     measure(**base)

@@ -76,3 +76,50 @@ def test_spike_matches_dense(N, b, L):
     Xs = np.asarray(spike_solve(fac, jnp.asarray(F)))
     err = np.max(np.abs(Xs.reshape(N * b, 3) - Xd))
     assert err < 1e-8 * max(1.0, np.max(np.abs(Xd)))
+
+
+@pytest.mark.parametrize("N,b", [(10, 5), (13, 4)])
+def test_crp_factor_solve_fused_unbatched(N, b):
+    """The fused factor+forward path (round 5) returns the same solution
+    and a factor reusable by crp_solve."""
+    from tol_tpu.ops.crkern import crp_factor_solve
+
+    rng = np.random.default_rng(2)
+    M, O, F, Xd = _chain(rng, N, b, 3)
+    npad = 1
+    while npad < N:
+        npad *= 2
+    lv, ri, X = crp_factor_solve(jnp.asarray(M), jnp.asarray(O),
+                                 jnp.asarray(F))
+    err = np.max(np.abs(np.asarray(X)[:N].reshape(N * b, 3) - Xd))
+    assert err < 1e-8 * max(1.0, np.max(np.abs(Xd)))
+    # factor reuse: a second rhs solved through crp_solve
+    F2 = rng.standard_normal((N, b, 2))
+    X2 = np.asarray(crp_solve(lv, ri, crp_pad_rhs(jnp.asarray(F2),
+                                                  npad)))[:N]
+    lv0, ri0 = crp_factor(jnp.asarray(M), jnp.asarray(O))
+    X2_ref = np.asarray(crp_solve(lv0, ri0,
+                                  crp_pad_rhs(jnp.asarray(F2), npad)))[:N]
+    assert np.max(np.abs(X2 - X2_ref)) < 1e-12
+
+
+def test_crp_factor_solve_fused_batched_kernel_path():
+    """B=128 drives the fused Pallas level kernel; agreement with the
+    dense oracle and lane-identical outputs."""
+    from tol_tpu.ops.crkern import crp_factor_solve
+
+    rng = np.random.default_rng(3)
+    N, b, m, B = 10, 4, 2, 128
+    M, O, F, Xd = _chain(rng, N, b, m)
+    Mb = jnp.asarray(np.repeat(M[None], B, 0))
+    Ob = jnp.asarray(np.repeat(O[None], B, 0))
+    Fb = jnp.asarray(np.repeat(F[None], B, 0))
+
+    def one(M, O, F):
+        lv, ri, X = crp_factor_solve(M, O, F)
+        return X[:N]
+
+    Xb = np.asarray(jax.vmap(one)(Mb, Ob, Fb))
+    assert np.max(np.abs(Xb - Xb[0:1])) == 0.0
+    err = np.max(np.abs(Xb[0].reshape(N * b, m) - Xd))
+    assert err < 1e-8 * max(1.0, np.max(np.abs(Xd)))

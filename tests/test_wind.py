@@ -8,6 +8,7 @@ import pytest
 from tol_tpu.models.wind import (
     WindConfig,
     WindGrid,
+    wind_enu,
     wind_ned,
     wind_with_gradient_ned,
 )
@@ -107,3 +108,105 @@ def test_analytic_models_differentiable(model):
         fd = (wind_ned(cfg, p + dp) - wind_ned(cfg, p - dp)) / (2 * eps)
         np.testing.assert_allclose(np.asarray(gw[:, j]), np.asarray(fd),
                                    rtol=1e-5, atol=1e-8)
+
+
+def test_model3_onehot_matches_gather():
+    """The one-hot (MXU) interpolation path is bit-level-equivalent math to
+    the fused-gather path: identical corner values, identical weights, the
+    one-hot contraction sums exactly one nonzero term."""
+    grid = _grid()._replace(live=jnp.array([1.0, 1.0, 1.0]))
+    cfg_g = WindConfig(model=3, grid=grid, interp="gather")
+    cfg_o = WindConfig(model=3, grid=grid, interp="onehot")
+    rng = np.random.default_rng(3)
+    for _ in range(8):
+        p = jnp.asarray(rng.uniform([-80, -80, -200], [80, 80, -20]))
+        wg, gg = wind_with_gradient_ned(cfg_g, p)
+        wo, go = wind_with_gradient_ned(cfg_o, p)
+        np.testing.assert_allclose(np.asarray(wo), np.asarray(wg),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(go), np.asarray(gg),
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_demo_storm_grid_is_nonuniform():
+    """The bench storm field must NOT be exactly representable by the
+    trilinear interpolant (VERDICT r04): mid-cell samples of the analytic
+    generators disagree with the grid interpolation by a finite margin,
+    and all three components are live."""
+    from tol_tpu.io.storm import make_demo_storm_grid
+
+    grid = make_demo_storm_grid()
+    assert np.all(np.asarray(grid.live) == 1.0)
+    cfg = WindConfig(model=3, grid=grid, east0=17400.0, north0=25800.0,
+                     up0=200.0)
+    # A mid-cell ENU probe: interpolated vs analytic vortex+thermal+shear.
+    p_enu = jnp.asarray(np.asarray(grid.origin)
+                        + np.asarray(grid.spacing) * (2.5, 2.5, 1.5))
+    w_interp = wind_enu(cfg, p_enu)
+    # Analytic field value (same formulas as make_demo_storm_grid).
+    x, y, z = [float(q) for q in p_enu]
+    v_an = -2.4 * 50.0 / 10.0 * np.tanh((z - 200.0) / 50.0)
+    dx, dy = x - 17400.0, y - 25700.0
+    r = np.hypot(dx, dy)
+    vt = 2.5 * (r / 200.0) * np.exp(1.0 - r / 200.0)
+    u_an = -vt * dy / r
+    v_an = v_an + vt * dx / r
+    w_an = 2.0 * np.exp(-((x - 17350.0) ** 2 + (y - 25650.0) ** 2)
+                        / 150.0 ** 2)
+    err = np.abs(np.asarray(w_interp)
+                 - np.array([u_an, v_an, w_an], dtype=np.float64))
+    # Nonuniformity: the interpolant is an approximation, not exact
+    # (model-1-replicating grids gave err == 0 identically).  The tanh
+    # shear transition (50 m) is deliberately under-resolved by the
+    # reference's 150 m spacing, so mid-cell errors are O(m/s) — what
+    # matters for the bench gate is that the ORACLE solves the same grid.
+    assert np.max(err) > 1e-3
+    # Sanity: interpolated winds stay at airframe-sane magnitudes.
+    assert np.max(np.abs(np.asarray(w_interp))) < 15.0
+
+
+def test_model3_spline_order2_properties():
+    """Quadratic B-spline field (order=2): (a) linear precision — a
+    globally linear sampled field is reproduced exactly, like trilinear;
+    (b) C1 — the gradient is continuous across cell-center boundaries
+    where trilinear kinks; (c) onehot/gather parity."""
+    nx, ny, nz = 6, 6, 6
+    sp = 10.0
+    xs = sp * np.arange(nx)
+    X, Y, Z = np.meshgrid(xs, xs, xs, indexing="ij")
+    lin = 0.3 * X - 0.2 * Y + 0.1 * Z + 1.0
+    grid = WindGrid(origin=jnp.zeros(3), spacing=jnp.full(3, sp),
+                    u=jnp.asarray(lin), v=jnp.asarray(lin),
+                    w=jnp.asarray(lin), live=jnp.ones(3))
+    cfg = WindConfig(model=3, east0=0.0, north0=0.0, up0=0.0, order=2,
+                     grid=grid)
+    rng = np.random.default_rng(5)
+    # (a) linear precision at interior points
+    for _ in range(5):
+        p = jnp.asarray(rng.uniform(15.0, 40.0, 3))
+        w = wind_enu(cfg, p)
+        expect = 0.3 * p[0] - 0.2 * p[1] + 0.1 * p[2] + 1.0
+        np.testing.assert_allclose(np.asarray(w), float(expect), rtol=1e-12)
+    # (b) C1 at the stencil switch (half-integer rel coords): gradients
+    # from both sides agree
+    grid2 = grid._replace(u=jnp.asarray(rng.normal(size=(nx, ny, nz))),
+                          v=jnp.asarray(rng.normal(size=(nx, ny, nz))),
+                          w=jnp.asarray(rng.normal(size=(nx, ny, nz))))
+    cfg2 = WindConfig(model=3, east0=0.0, north0=0.0, up0=0.0, order=2,
+                      grid=grid2)
+    gfun = jax.jacfwd(lambda p: wind_enu(cfg2, p))
+    p0 = jnp.array([25.0, 27.3, 31.9])   # x at a cell-center boundary
+    eps = 1e-6
+    gl = np.asarray(gfun(p0 - jnp.array([eps, 0, 0])))
+    gr = np.asarray(gfun(p0 + jnp.array([eps, 0, 0])))
+    np.testing.assert_allclose(gl, gr, rtol=1e-4, atol=1e-6)
+    # (c) onehot/gather parity for order=2
+    cfg2o = WindConfig(model=3, east0=0.0, north0=0.0, up0=0.0, order=2,
+                       interp="onehot", grid=grid2)
+    cfg2g = WindConfig(model=3, east0=0.0, north0=0.0, up0=0.0, order=2,
+                       interp="gather", grid=grid2)
+    for _ in range(5):
+        p = jnp.asarray(rng.uniform(12.0, 45.0, 3))
+        np.testing.assert_allclose(np.asarray(wind_enu(cfg2o, p)),
+                                   np.asarray(wind_enu(cfg2g, p)),
+                                   rtol=1e-12, atol=1e-14)

@@ -98,3 +98,57 @@ def import_netcdf_storm(path: str, out_path: str | None = None,
                         np.asarray(grid.spacing), np.asarray(grid.u),
                         np.asarray(grid.v), np.asarray(grid.w))
     return grid
+
+
+def make_demo_storm_grid(nx: int = 8, ny: int = 8, nz: int = 6,
+                         spacing: float = 150.0,
+                         origin=(17000.0, 25500.0, 0.0),
+                         up0: float = 200.0,
+                         shear: float = 2.4, shear_href: float = 10.0,
+                         shear_sat: float = 50.0,
+                         vortex_center=(17400.0, 25700.0),
+                         vortex_v: float = 2.5, vortex_r0: float = 200.0,
+                         thermal_center=(17350.0, 25650.0),
+                         thermal_w: float = 2.0, thermal_r0: float = 150.0):
+    """Genuinely NONUNIFORM demo storm field sampled onto a WindGrid.
+
+    The reference flew against a Straka storm database with spatially
+    varying wind and live gradients (src/problem.cpp:371-469, 544-695);
+    this builds a comparable stand-in without the Mongo dependency: a
+    saturating boundary-layer shear (tanh in altitude, matching the
+    model-1 gradient ``-shear/shear_href`` at the ``up0`` datum), a
+    Rankine-style horizontal vortex, and a Gaussian thermal updraft, all
+    sampled at the reference's 150 m grid spacing
+    (include/problem.h:87-89) with ALL THREE components live.
+
+    None of these component fields is trilinear, so the grid interpolant
+    does NOT represent the analytic field exactly: solves against this
+    grid exercise real trilinear interpolation and its AD gradients, and
+    the correctness oracle must be solved on the SAME grid (see
+    scratch/make_golden_storm.py / tests/golden_storm_ts100.npy).
+    """
+    xs = origin[0] + spacing * np.arange(nx)
+    ys = origin[1] + spacing * np.arange(ny)
+    zs = origin[2] + spacing * np.arange(nz)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+
+    # Saturating shear: v -> -shear*(z-up0)/shear_href near the datum,
+    # bounded at +-shear*shear_sat/shear_href aloft.
+    v = -shear * shear_sat / shear_href * np.tanh((Z - up0) / shear_sat)
+
+    # Rankine-style vortex (solid-body core, 1/r-like decay outside).
+    dx = X - vortex_center[0]
+    dy = Y - vortex_center[1]
+    r = np.sqrt(dx * dx + dy * dy)
+    vt = vortex_v * (r / vortex_r0) * np.exp(1.0 - r / vortex_r0)
+    safe_r = np.where(r > 0, r, 1.0)
+    u = np.where(r > 0, -vt * dy / safe_r, 0.0)
+    v = v + np.where(r > 0, vt * dx / safe_r, 0.0)
+
+    # Gaussian thermal updraft.
+    r2t = ((X - thermal_center[0]) ** 2 + (Y - thermal_center[1]) ** 2)
+    w = thermal_w * np.exp(-r2t / (thermal_r0 * thermal_r0))
+
+    return grid_from_arrays(u, v, w, origin,
+                            (spacing, spacing, spacing),
+                            live=(1.0, 1.0, 1.0))

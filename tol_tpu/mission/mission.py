@@ -95,6 +95,7 @@ def default_leg_solver(cfg: MissionConfig) -> Callable:
     cache: dict = {}
     warm: dict = {}   # mission_type -> (v, y) from the last converged leg
     wind_cache: dict = {}
+    leg_counter = [0]  # per-solver leg index: ensemble noise differs per leg
 
     def _wind_config() -> WindConfig:
         """Per-leg wind configuration; reloads the TOLWGRID grid from disk
@@ -215,9 +216,14 @@ def default_leg_solver(cfg: MissionConfig) -> Callable:
             # Seed-ensemble leg solve (see MissionConfig.leg_ensemble).
             E = cfg.leg_ensemble
             n_warm = E // 2 if used_warm else 1
-            base = (jnp.asarray(v0) if used_warm
+            # A caller-supplied seed is honored even when the warm cache
+            # did not produce it (base lane + perturbations around it).
+            base = (jnp.asarray(v0) if v0 is not None
                     else jnp.zeros(can.n, dtype))
-            key = jax.random.PRNGKey(len(warm) * 1000 + E)
+            # Fold a per-leg counter into the key so a bad noise draw does
+            # not repeat identically on every replan of a mission type.
+            leg_counter[0] += 1
+            key = jax.random.PRNGKey(leg_counter[0] * 7919 + E)
             t0 = time.time()
             v0s, y0s = build_seeds(inst, base, jnp.asarray(y0), key,
                                    jnp.asarray(n_warm, jnp.int32))

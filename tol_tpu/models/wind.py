@@ -70,6 +70,23 @@ class WindConfig:
     """
 
     model: int = 1
+    # model-3 interpolation strategy (static; selects code):
+    #   "gather"  8-corner fused gather (any grid size)
+    #   "onehot"  one-hot contraction against pre-shifted corner tables —
+    #             turns the per-node gather into an MXU matmul, ~3x
+    #             cheaper per constraint evaluation for bench-scale grids
+    #   "auto"    "onehot" when the grid has <= 4096 cells else "gather"
+    interp: str = "auto"
+    # model-3 interpolation order (static; selects code):
+    #   1  trilinear (reference parity: the C0 8-node hexahedron shape
+    #      functions of src/problem.cpp:617-635)
+    #   2  uniform quadratic B-spline (C1, 27-node stencil, linear
+    #      precision) — the TPU-first choice for *optimizing* through a
+    #      gridded field: trilinear wind kinks at cell faces destroy
+    #      pointwise KKT stationarity when the optimal path crosses
+    #      cells (measured: f64 dual residual stalls ~1e+1 on a
+    #      nonuniform field); the C1 field restores the certificate.
+    order: int = 1
     # model 1: linear boundary layer v_north = -vref * z_up / href
     # (src/problem.cpp:504-505: Vref=2.4, href=10)
     vref: float = 2.4
@@ -96,7 +113,7 @@ jax.tree_util.register_dataclass(
     data_fields=["vref", "href", "xth", "yth", "vcore", "rlift",
                  "xth2", "yth2", "vcore2", "rlift2",
                  "east0", "north0", "up0", "grid"],
-    meta_fields=["model"],
+    meta_fields=["model", "interp", "order"],
 )
 
 
@@ -162,40 +179,95 @@ def _cyclic(cfg: WindConfig, p_enu: jax.Array) -> jax.Array:
     return jnp.stack([wx, wy, zero])
 
 
-def _trilinear(grid: WindGrid, p_enu: jax.Array) -> jax.Array:
-    """Trilinear interpolation on the gridded field.
+def _cell_weights(grid: WindGrid, p_enu: jax.Array, order: int):
+    """Cell location + tensor-product weights for the gridded field.
 
-    Equivalent to the reference's eight-node hexahedron shape functions
-    N1..N8 (src/problem.cpp:617-635); cell search by floor-division replaces
-    the linear scans at src/problem.cpp:556-572.  Positions are clamped to
-    the grid interior so queries outside the cache extrapolate from the edge
-    cell (the reference would read out of bounds there).
+    ``order=1``: trilinear — the reference's 8-node hexahedron shape
+    functions N1..N8 (src/problem.cpp:617-635), C0 across cell faces.
+    ``order=2``: uniform quadratic B-spline — 27-node stencil, C1
+    everywhere, with *linear precision* (any field that is globally
+    linear — e.g. the model-1 boundary layer sampled on a grid — is
+    reproduced exactly, like trilinear).  C1 matters for optimization:
+    trilinear wind kinks at cell faces leave the storm NLP without
+    pointwise stationarity when the optimal orbit crosses cells (f64
+    KKT stalls at ~1e+1 measured), while the spline field restores the
+    certificate.  Positions clamp to the grid interior so queries
+    outside the cache extrapolate from the edge cells (the reference
+    would read out of bounds there, src/problem.cpp:556-572).
+
+    Returns (flat base index, stencil weights, python list of flat
+    stencil offsets).
     """
     rel = (p_enu - grid.origin) / grid.spacing
     nx, ny, nz = grid.u.shape
     shape = jnp.array((nx, ny, nz))
-    idx = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, shape - 2)
-    frac = rel - idx.astype(rel.dtype)
-    zeta, eta, mu = frac[0], frac[1], frac[2]
+    if order == 1:
+        idx = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, shape - 2)
+        frac = rel - idx.astype(rel.dtype)
+        w_ax = [jnp.stack([1.0 - frac[a], frac[a]]) for a in range(3)]
+        k = 2
+        base_idx = idx
+    elif order == 2:
+        jc = jnp.clip(jnp.round(rel).astype(jnp.int32), 1, shape - 2)
+        f = rel - jc.astype(rel.dtype)
+        w_ax = [jnp.stack([0.5 * (0.5 - f[a]) ** 2,
+                           0.75 - f[a] ** 2,
+                           0.5 * (0.5 + f[a]) ** 2]) for a in range(3)]
+        k = 3
+        base_idx = jc - 1
+    else:
+        raise ValueError(f"unsupported interpolation order {order}")
+    wgt = (w_ax[0][:, None, None] * w_ax[1][None, :, None]
+           * w_ax[2][None, None, :]).reshape(k ** 3)           # x-major
+    base = (base_idx[0] * ny + base_idx[1]) * nz + base_idx[2]
+    offs = [(dx * ny + dy) * nz + dz
+            for dx in range(k) for dy in range(k) for dz in range(k)]
+    return base, wgt, offs
 
-    # ONE fused gather of all 8 corners x 3 components instead of 24
-    # scalar gathers: flatten the fields, address the corner cube by flat
-    # offsets, and contract with the tensor-product weights.  Same math
-    # as the reference's N1..N8 shape functions; measured ~3x cheaper per
-    # constraint evaluation at bench batch sizes (the scalar-gather form
-    # made wind-model-3 solves ~10x slower per iteration than model 1).
+
+def _grid_interp_onehot(grid: WindGrid, p_enu: jax.Array,
+                        order: int) -> jax.Array:
+    """Gridded-field interpolation as a one-hot contraction (MXU path).
+
+    Same math as :func:`_grid_interp_gather`, but the stencil gather is
+    replaced by ``onehot(cell) @ corner_table``: the per-cell stencil
+    values (8 or 27 corners x 3 components) are pre-shifted into one
+    ``(ncells, 3*k^3)`` table — a loop-invariant XLA hoists out of the
+    solver while-loop — and each query contracts a one-hot cell vector
+    against it.  On TPU the batched contraction runs on the MXU and is
+    ~3x cheaper per constraint evaluation than the gather lowering for
+    bench-scale grids; the derivative w.r.t. position flows through the
+    weights exactly as in the gather form (the one-hot is piecewise
+    constant).
+    """
+    nx, ny, nz = grid.u.shape
+    n = nx * ny * nz
+    base, wgt, offs = _cell_weights(grid, p_enu, order)
+    flat = jnp.stack([grid.u.reshape(-1), grid.v.reshape(-1),
+                      grid.w.reshape(-1)])                     # (3, n)
+    flatp = jnp.pad(flat, ((0, 0), (0, offs[-1])))
+    table = jnp.stack([jax.lax.dynamic_slice_in_dim(flatp, o, n, axis=1)
+                       for o in offs])                         # (k^3, 3, n)
+    onehot = (jnp.arange(n, dtype=jnp.int32) == base).astype(wgt.dtype)
+    corners = jnp.einsum("ocn,n->co", table.astype(wgt.dtype), onehot,
+                         precision=jax.lax.Precision.HIGHEST)  # (3, k^3)
+    uvw = corners @ wgt
+    return uvw * grid.live.astype(uvw.dtype)
+
+
+def _grid_interp_gather(grid: WindGrid, p_enu: jax.Array,
+                        order: int) -> jax.Array:
+    """Gridded-field interpolation via ONE fused stencil gather.
+
+    Flatten the fields, address the stencil cube by flat offsets, and
+    contract with the tensor-product weights — instead of 24 (or 81)
+    scalar gathers (the scalar-gather form made wind-model-3 solves ~10x
+    slower per iteration than model 1; measured r04).
+    """
+    base, wgt, offs = _cell_weights(grid, p_enu, order)
     flat = jnp.stack([grid.u.reshape(-1), grid.v.reshape(-1),
                       grid.w.reshape(-1)])                     # (3, N)
-    base = (idx[0] * ny + idx[1]) * nz + idx[2]
-    offs = jnp.array([0, 1, nz, nz + 1,
-                      ny * nz, ny * nz + 1, (ny + 1) * nz, (ny + 1) * nz + 1],
-                     dtype=jnp.int32)
-    corners = flat[:, base + offs]                             # (3, 8)
-    wz = jnp.stack([1.0 - mu, mu])
-    wy = jnp.stack([1.0 - eta, eta])
-    wx = jnp.stack([1.0 - zeta, zeta])
-    wgt = (wx[:, None, None] * wy[None, :, None]
-           * wz[None, None, :]).reshape(8)                     # x-major
+    corners = flat[:, base + jnp.asarray(offs, jnp.int32)]     # (3, k^3)
     uvw = corners @ wgt
     return uvw * grid.live.astype(uvw.dtype)
 
@@ -216,7 +288,13 @@ def wind_enu(cfg: WindConfig, p_enu: jax.Array) -> jax.Array:
     if model == 3:
         if cfg.grid is None:
             raise ValueError("wind model 3 requires a WindGrid")
-        return _trilinear(cfg.grid, p_enu)
+        ncells = int(cfg.grid.u.shape[0] * cfg.grid.u.shape[1]
+                     * cfg.grid.u.shape[2])
+        use_onehot = (cfg.interp == "onehot"
+                      or (cfg.interp == "auto" and ncells <= 4096))
+        if use_onehot:
+            return _grid_interp_onehot(cfg.grid, p_enu, cfg.order)
+        return _grid_interp_gather(cfg.grid, p_enu, cfg.order)
     if model == 4:
         return _dual_thermal(cfg, p_enu)
     if model == 5:

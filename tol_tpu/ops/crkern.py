@@ -161,6 +161,31 @@ def _factor_kernel(modd_ref, meven_ref, ol_ref, or_ref,
     minv_ref[...] = Minv
 
 
+def _factor_fwd_kernel(modd_ref, meven_ref, ol_ref, or_ref,
+                       fodd_ref, feven_ref,
+                       minv_ref, mhalf_ref, onext_ref, s_ref,
+                       fe_ref, br_ref):
+    """One CR level, factor + rhs forward-elimination FUSED (round 5).
+
+    The separate forward pass re-reads Minv/OL/OR from HBM for every rhs
+    column; the border columns (and the first Newton rhs) are known
+    before the factor, so eliminating them here reuses the in-register
+    pivot inverse and saves one full pass over the factor data per
+    iteration.  Math identical to _factor_kernel + _fwd_kernel.
+    """
+    Minv = _spd_inverse_slab(modd_ref[...])
+    OL = ol_ref[...]
+    OR = or_ref[...]
+    MinvOR = _mm_slab(Minv, OR)
+    mhalf_ref[...] = meven_ref[...] - _mm_slab(OL, _mm_nt_slab(Minv, OL))
+    onext_ref[...] = -_mm_slab(OL, MinvOR)
+    s_ref[...] = _mm_tn_slab(OR, MinvOR)
+    minv_ref[...] = Minv
+    g = _mm_slab(Minv, fodd_ref[...])
+    fe_ref[...] = feven_ref[...] - _mm_slab(OL, g)
+    br_ref[...] = _mm_tn_slab(OR, g)
+
+
 def _fwd_kernel(minv_ref, ol_ref, or_ref, fodd_ref, feven_ref,
                 g_ref, fe_ref, br_ref):
     """Forward solve at one level: g = Minv f_odd; even updates
@@ -213,6 +238,44 @@ def _factor_slab(M, O, Bb):
     return levels, root_inv
 
 
+def _factor_fwd_slab(M, O, F, Bb):
+    """Fused factor + forward-elimination of F, then backward sweep.
+
+    Returns (levels, root_inv, X) in slab space; X solves the chain for
+    the rhs F in ONE pass over the level data (vs factor + separate
+    forward).  The backward sweep reuses _bwd_kernel.
+    """
+    b, m = M.shape[0], F.shape[1]
+    dtype = M.dtype
+    levels = []
+    stack = []
+    p = M.shape[2] // Bb
+    while p > 1:
+        Me, Mo = _split_oe(M, Bb)
+        OL, OR = _split_oe(O, Bb)
+        Fe, Fo = _split_oe(F, Bb)
+        half = Mo.shape[2]
+        Minv, Mhalf, Onext, S, Fe2, brF = _call_level(
+            _factor_fwd_kernel, [Mo, Me, OL, OR, Fo, Fe], 6,
+            [(b, b)] * 4 + [(b, m)] * 2, half, dtype)
+        M = Mhalf - _shift_fwd(S, Bb)
+        O = Onext
+        F = Fe2 - _shift_fwd(brF, Bb)
+        levels.append((Minv, OL, OR))
+        stack.append(Fo)
+        p //= 2
+    root_inv = _call_level(_root_kernel, [M], 1, [(b, b)], Bb, dtype)
+    x = _call_level(_root_solve_kernel, [root_inv, F], 1, [(b, m)],
+                    F.shape[2], dtype)
+    for (Minv, OL, OR), fo in zip(reversed(levels), reversed(stack)):
+        half = fo.shape[2]
+        xs = _shift_bwd(x, Bb)
+        xo = _call_level(_bwd_kernel, [Minv, OL, OR, fo, x, xs], 1,
+                         [(b, m)], half, dtype)
+        x = _interleave(x, xo, Bb)
+    return levels, root_inv, x
+
+
 def _solve_slab(levels, root_inv, f, Bb):
     b, m = f.shape[0], f.shape[1]
     dtype = f.dtype
@@ -261,6 +324,47 @@ def _factor_ref(M, O):
         p //= 2
     root_inv = spd_inverse(M[0:1])
     return levels, root_inv
+
+
+def _factor_solve_ref(M, O, F):
+    """XLA reference for the fused factor+solve (single instance)."""
+    n = M.shape[0]
+    M, O, p = _pad_pow2(M, O, n)
+    if F.shape[0] != p:
+        F = jnp.concatenate(
+            [F, jnp.zeros((p - F.shape[0],) + F.shape[1:], F.dtype)])
+    O = O.at[p - 1].set(0.0)
+    levels = []
+    stack = []
+    while p > 1:
+        Mo = M[1::2]
+        Me = M[0::2]
+        OL = O[0::2]
+        OR = O[1::2]
+        Fo = F[1::2]
+        Fe = F[0::2]
+        Minv = spd_inverse(Mo)
+        MinvOR = bmm(Minv, OR)
+        Mhalf = Me - bmm(OL, bmm(Minv, jnp.swapaxes(OL, -1, -2)))
+        S = bmm_tn(OR, MinvOR)
+        M = Mhalf.at[1:].add(-S[:-1])
+        O = -bmm(OL, MinvOR)
+        g = bmm(Minv, Fo)
+        Fe = Fe - bmm(OL, g)
+        Fe = Fe.at[1:].add(-bmm_tn(OR[:-1], g[:-1]))
+        F = Fe
+        levels.append((Minv, OL, OR))
+        stack.append(Fo)
+        p //= 2
+    root_inv = spd_inverse(M[0:1])
+    x = bmm(root_inv, F[0:1])
+    for (Minv, OL, OR), fo in zip(reversed(levels), reversed(stack)):
+        xs = jnp.concatenate([x[1:], jnp.zeros_like(x[0:1])])
+        rhs = fo - bmm_tn(OL, x) - bmm(OR, xs)
+        xo = bmm(Minv, rhs)
+        h = fo.shape[0]
+        x = jnp.stack([x, xo], axis=1).reshape(2 * h, *x.shape[1:])
+    return tuple(levels), root_inv, x
 
 
 def _solve_ref(levels, root_inv, f):
@@ -326,6 +430,56 @@ def _crp_factor_vmap(axis_size, in_batched, M, O):
     out = (tuple((_from_slab(Mi, Bb), _from_slab(OLi, Bb),
                   _from_slab(ORi, Bb)) for (Mi, OLi, ORi) in levels),
            _from_slab(root_inv, Bb))
+    return out, jax.tree_util.tree_map(lambda _: True, out)
+
+
+@jax.custom_batching.custom_vmap
+def crp_factor_solve(M, O, F):
+    """Fused factor + multi-rhs solve (single instance).
+
+    M, O as :func:`crp_factor`; F: (n, b, m) rhs columns known BEFORE
+    the factor (the condensed border columns + the first Newton rhs).
+    Returns (levels, root_inv, X) where X (n_pad, b, m) solves the chain
+    for F (caller slices [:n]) and (levels, root_inv) are reusable by
+    :func:`crp_solve` for later rhs (refinement passes).  One pass over
+    the level data instead of factor + separate forward solve.
+    """
+    return _factor_solve_ref(M, O, F)
+
+
+@crp_factor_solve.def_vmap
+def _crp_factor_solve_vmap(axis_size, in_batched, M, O, F):
+    mb, ob, fb = in_batched
+    if not mb:
+        M = jnp.broadcast_to(M, (axis_size,) + M.shape)
+    if not ob:
+        O = jnp.broadcast_to(O, (axis_size,) + O.shape)
+    if not fb:
+        F = jnp.broadcast_to(F, (axis_size,) + F.shape)
+    Bb = axis_size
+    n, b = M.shape[1], M.shape[2]
+    if Bb % 128 != 0:
+        out = jax.lax.map(lambda a: _factor_solve_ref(*a), (M, O, F))
+        return out, jax.tree_util.tree_map(lambda _: True, out)
+    p = 1
+    while p < n:
+        p *= 2
+    if p != n:
+        eye = jnp.broadcast_to(jnp.eye(b, dtype=M.dtype),
+                               (Bb, p - n, b, b))
+        M = jnp.concatenate([M, eye], axis=1)
+        O = jnp.concatenate([O, jnp.zeros((Bb, p - n, b, b), M.dtype)],
+                            axis=1)
+    if F.shape[1] != p:
+        F = jnp.concatenate(
+            [F, jnp.zeros((Bb, p - F.shape[1]) + F.shape[2:], F.dtype)],
+            axis=1)
+    O = O.at[:, p - 1].set(0.0)
+    levels, root_inv, x = _factor_fwd_slab(_to_slab(M), _to_slab(O),
+                                           _to_slab(F), Bb)
+    out = (tuple((_from_slab(Mi, Bb), _from_slab(OLi, Bb),
+                  _from_slab(ORi, Bb)) for (Mi, OLi, ORi) in levels),
+           _from_slab(root_inv, Bb), _from_slab(x, Bb))
     return out, jax.tree_util.tree_map(lambda _: True, out)
 
 

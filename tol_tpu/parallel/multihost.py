@@ -52,11 +52,14 @@ def local_batch_to_global(mesh: Mesh, tree, local_batch: int | None = None):
 
     A leaf is treated as batched (concatenated across processes along axis
     0) only when its leading dimension is the per-process batch: pass
-    ``local_batch`` explicitly, or leave ``None`` to infer it as the most
-    common leading dimension among the array leaves (ties broken toward
-    the larger dim; a lone replicated grid leaf can no longer win the
-    vote).  Everything else (scalars, shared parameter vectors identical
-    on each host) is replicated — the same contract as
+    ``local_batch`` explicitly, or leave ``None`` to infer it by a
+    rank-weighted vote over leading dimensions (each leaf votes with
+    weight = its rank, so a stack of same-length replicated 1-D parameter
+    vectors cannot outvote genuinely batched 2-D leaves; ties/ambiguity
+    still raise).  Heterogeneous trees where the batch leaves are not the
+    highest-rank ones should pass ``local_batch`` explicitly.  Everything
+    else (scalars, shared parameter vectors identical on each host) is
+    replicated — the same contract as
     :func:`tol_tpu.parallel.mesh.shard_instances`.
     """
     from collections import Counter
@@ -70,19 +73,21 @@ def local_batch_to_global(mesh: Mesh, tree, local_batch: int | None = None):
             return jax.tree_util.tree_map(
                 lambda x: multihost_utils.host_local_array_to_global_array(
                     jnp.asarray(x), mesh, P()), tree)
-        counts = Counter(x.shape[0] for x in batched_leaves)
+        counts = Counter()
+        for x in batched_leaves:
+            counts[x.shape[0]] += x.ndim   # rank-weighted vote
         top = counts.most_common()
         local_batch = max(d for d, c in top if c == top[0][1])
         if len(counts) > 1:
-            # Mixed leading dims: the vote can still be wrong for exotic
-            # trees (e.g. equally many grid leaves as batched leaves), so
-            # require an unambiguous majority before trusting it.
+            # Mixed leading dims: the weighted vote can still be wrong for
+            # exotic trees, so require an unambiguous majority before
+            # trusting it.
             others = sum(c for d, c in counts.items() if d != local_batch)
             if counts[local_batch] <= others:
                 raise ValueError(
                     "local_batch_to_global: cannot infer the per-process "
-                    f"batch dim (leading dims seen: {dict(counts)}); pass "
-                    "local_batch= explicitly")
+                    f"batch dim (rank-weighted leading-dim votes: "
+                    f"{dict(counts)}); pass local_batch= explicitly")
 
     def put(x):
         x = jnp.asarray(x)

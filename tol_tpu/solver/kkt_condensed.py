@@ -223,17 +223,51 @@ def make_condensed_kkt(can: CanonicalNLP, refine: int = 2,
         M_chain = M[1:]
         O_chain = jnp.concatenate([O[1:], jnp.zeros((1, NV, NV), dtype=dtype)])
 
+        # Shared rhs condensation (used by solve_once and, for crp, by
+        # the fused factor pre-pass — identical subgraphs CSE under jit).
+        def condense_rhs(rhs_v_, rhs_c_):
+            r_dt = rhs_v_[0]
+            r_z = rhs_v_[1:1 + (T + 1) * NV].reshape(T + 1, NV)
+            r_s = rhs_v_[1 + (T + 1) * NV:]
+            rc_d = rhs_c_[:NS * T].reshape(T, NS)
+            rc_b = rhs_c_[NS * T:]
+            rz = r_z
+            rz = rz.at[:-1].add(bmv_t(A, Dd * rc_d))
+            rz = rz.at[1:].add(jnp.concatenate(
+                [Dd * rc_d, jnp.zeros((T, NV - NS), dtype=dtype)], axis=1))
+            rz = rz.at[T].add(bmv_t(GT, Db * rc_b))
+            rz = rz.at[0].add(bmv_t(G0, Db * rc_b))
+            rz = rz.at[0].multiply(m0)
+            r_dt_c = r_dt + jnp.sum(Dd * d * rc_d) + GdtDb @ rc_b
+            r_s_c = r_s + bmv_t(Gs, Db * rc_b)
+            rB = jnp.concatenate([rz[0], jnp.reshape(r_dt_c, (1,)), r_s_c])
+            return rz, rB, rc_d, rc_b
+
+        Yr_pre = None
         if chain in ("cr", "crp", "spike"):
             if chain == "cr":
                 fac = cr_factor(M_chain, O_chain)
                 tri_solve_chain = cr_solve
+                YW = tri_solve_chain(fac, Wc)             # (T, NV, nB)
             elif chain == "crp":
-                from tol_tpu.ops.crkern import (crp_factor, crp_pad_rhs,
-                                                crp_solve)
+                from tol_tpu.ops.crkern import (crp_factor_solve,
+                                                crp_pad_rhs, crp_solve)
                 n_pad = 1
                 while n_pad < T:
                     n_pad *= 2
-                fac_levels, fac_root = crp_factor(M_chain, O_chain)
+                # FUSED factor + border columns + first Newton rhs: the
+                # separate forward pass would re-read every level's
+                # pivot/coupling data from HBM; all these columns are
+                # known before the factor, so they eliminate in the same
+                # pass (tol_tpu/ops/crkern.py::_factor_fwd_kernel).
+                rz1, _, _, _ = condense_rhs(
+                    jnp.where(fixed_all, 0.0, rhs_v), rhs_c)
+                Wfull = jnp.concatenate([Wc, rz1[1:][..., None]], axis=2)
+                fac_levels, fac_root, Yall = crp_factor_solve(
+                    M_chain, O_chain, Wfull)
+                Yall = Yall[:T]
+                YW = Yall[..., :nB]
+                Yr_pre = Yall[..., nB]
                 fac = None
 
                 def tri_solve_chain(_, F):
@@ -243,9 +277,9 @@ def make_condensed_kkt(can: CanonicalNLP, refine: int = 2,
                 from tol_tpu.ops.spike import spike_factor, spike_solve
                 fac = spike_factor(M_chain, O_chain)
                 tri_solve_chain = spike_solve
+                YW = tri_solve_chain(fac, Wc)             # (T, NV, nB)
             # Border columns are rhs-independent: solve them once; the
             # Schur complement is S = B0 - W^T Mtri^{-1} W.
-            YW = tri_solve_chain(fac, Wc)                 # (T, NV, nB)
             S_border = B0 - jnp.sum(bmm_tn(Wc, YW), axis=0)
             L_border_cr = chol_unrolled(S_border)
 
@@ -284,23 +318,8 @@ def make_condensed_kkt(can: CanonicalNLP, refine: int = 2,
 
         # ---------------- solves reusing the stored factors ---------------
 
-        def solve_once(rhs_v_, rhs_c_):
-            r_dt = rhs_v_[0]
-            r_z = rhs_v_[1:1 + (T + 1) * NV].reshape(T + 1, NV)
-            r_s = rhs_v_[1 + (T + 1) * NV:]
-            rc_d = rhs_c_[:NS * T].reshape(T, NS)
-            rc_b = rhs_c_[NS * T:]
-
-            rz = r_z
-            rz = rz.at[:-1].add(bmv_t(A, Dd * rc_d))
-            rz = rz.at[1:].add(jnp.concatenate(
-                [Dd * rc_d, jnp.zeros((T, NV - NS), dtype=dtype)], axis=1))
-            rz = rz.at[T].add(bmv_t(GT, Db * rc_b))
-            rz = rz.at[0].add(bmv_t(G0, Db * rc_b))
-            rz = rz.at[0].multiply(m0)
-            r_dt_c = r_dt + jnp.sum(Dd * d * rc_d) + GdtDb @ rc_b
-            r_s_c = r_s + bmv_t(Gs, Db * rc_b)
-            rB = jnp.concatenate([rz[0], jnp.reshape(r_dt_c, (1,)), r_s_c])
+        def solve_once(rhs_v_, rhs_c_, Yr_pre=None):
+            rz, rB, rc_d, rc_b = condense_rhs(rhs_v_, rhs_c_)
 
             if chain == "pallas":
                 tr_p, sb_r = chain_rhs_forward(Dinv_p, O_chain, tRw_p,
@@ -314,7 +333,8 @@ def make_condensed_kkt(can: CanonicalNLP, refine: int = 2,
                     jnp.concatenate([tRw_p, tr_p[:, :, None]], axis=2),
                     t2p, coef)
             elif chain in ("cr", "crp", "spike"):
-                Yr = tri_solve_chain(fac, rz[1:][..., None])[..., 0]
+                Yr = (Yr_pre if Yr_pre is not None
+                      else tri_solve_chain(fac, rz[1:][..., None])[..., 0])
                 rB_acc = rB - jnp.sum(bmv_t(Wc, Yr), axis=0)
                 yb_ = tri_solve_unrolled(L_border_cr, rB_acc[..., None],
                                          lower=True)
@@ -360,7 +380,7 @@ def make_condensed_kkt(can: CanonicalNLP, refine: int = 2,
             return dv_out, dy_out
 
         rhs_v_eff = jnp.where(fixed_all, 0.0, rhs_v)
-        dv, dy = solve_once(rhs_v_eff, rhs_c)
+        dv, dy = solve_once(rhs_v_eff, rhs_c, Yr_pre)
         for _ in range(refine):
             a1, a2 = apply_saddle(dv, dy)
             e1 = jnp.where(fixed_all, 0.0, rhs_v_eff - a1)

@@ -42,7 +42,13 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
             for name in os.listdir(seed):
                 dst = os.path.join(cache_dir, name)
                 if not os.path.exists(dst):
-                    shutil.copy2(os.path.join(seed, name), dst)
+                    # Atomic publish: concurrent processes (pytest-xdist
+                    # workers) race this copy, and a reader must never see
+                    # a torn cache entry — stage to a temp file in the
+                    # same dir, then os.replace() into place.
+                    tmp = dst + f".tmp.{os.getpid()}"
+                    shutil.copy2(os.path.join(seed, name), tmp)
+                    os.replace(tmp, dst)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
