@@ -109,5 +109,19 @@ variants = {
 }
 
 sel = e("SURG", "full,nokkt,nols,nodual,norefine,nokkt_nols_nodual")
-for name in sel.split(","):
+for name in [x for x in sel.split(",") if x]:
     variants[name]()
+
+
+def kkt_stage_variants():
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__))))
+    from _kkt_stage import make_condensed_kkt as mk_stage
+
+    for st in ("assemble", "blocks", "factor", "full"):
+        measure(f"kkt:{st}", mk_stage(can, refine=1, chain="crp", stage=st),
+                ALMOptions(max_iter=2000, dual_refine_k=4, max_ls=8))
+
+
+if e("KKT_STAGES", "0") == "1":
+    kkt_stage_variants()

@@ -16,9 +16,7 @@ from tol_tpu.api import make_problem
 from tol_tpu.parallel import (
     make_mesh,
     shard_instances,
-    sharded_all_defects,
     sharded_batch_solve,
-    sharded_constraint_norm,
 )
 from tol_tpu.solver import canonicalize
 from tol_tpu.solver.alm import ALMOptions, solve as alm_solve
@@ -60,31 +58,6 @@ def test_sharded_batch_solve_converges():
     assert conv.all(), (conv, np.asarray(out.kkt_err))
     # outputs sharded over dp
     assert len({d.device for d in out.v.addressable_shards}) == 8
-
-
-def test_timeshard_defects_match():
-    """sp-sharded defect evaluation (halo via ppermute) == unsharded."""
-    mesh = make_mesh(n_dp=2, n_sp=4)
-    nlp = make_problem("S10", aircraft="tempest", ts=8, wind_model=1)
-    Z, dt = nlp.seed()
-    ref = np.asarray(nlp.all_defects(Z, dt))
-    with mesh:
-        d = sharded_all_defects(mesh, nlp, Z, dt)
-    np.testing.assert_allclose(np.asarray(d), ref, atol=1e-12)
-    with mesh:
-        nrm = sharded_constraint_norm(mesh, nlp, Z, dt)
-    assert float(nrm) == pytest.approx(float(np.max(np.abs(ref))), rel=1e-12)
-
-
-def test_timeshard_full_sp_axis():
-    """All 8 devices on the time axis."""
-    mesh = make_mesh(n_dp=1, n_sp=8)
-    nlp = make_problem("S10", aircraft="tempest", ts=16, wind_model=1)
-    Z, dt = nlp.seed()
-    ref = np.asarray(nlp.all_defects(Z, dt))
-    with mesh:
-        d = sharded_all_defects(mesh, nlp, Z, dt)
-    np.testing.assert_allclose(np.asarray(d), ref, atol=1e-12)
 
 
 def test_psum_reduction_over_dp():

@@ -3,10 +3,6 @@ from tol_tpu.parallel.mesh import (
     shard_instances,
     sharded_batch_solve,
 )
-from tol_tpu.parallel.timeshard import (
-    sharded_all_defects,
-    sharded_constraint_norm,
-)
 from tol_tpu.parallel.multihost import (
     global_psum,
     global_stats_to_host,
@@ -15,6 +11,5 @@ from tol_tpu.parallel.multihost import (
 )
 
 __all__ = ["make_mesh", "shard_instances", "sharded_batch_solve",
-           "sharded_all_defects", "sharded_constraint_norm",
            "init_multihost", "local_batch_to_global",
            "global_stats_to_host", "global_psum"]
