@@ -133,7 +133,13 @@ def main():
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     # max_ls=8: line-search trials 12 -> 8 is quality-neutral on the gate
     # (scratch/tune_sched.py: identical ok counts) and ~10% faster.
-    opts = ALMOptions(max_iter=2000, dual_refine_k=dual_k, max_ls=8)
+    # factor_reuse=2 (Shamanskii chord steps): the KKT factor+border
+    # solve is ~60% of a TPU iteration (scratch/time_surgery.py); one
+    # factorization serving two steps cuts per-iteration cost ~35% at a
+    # small iteration-count premium (bench-verified on the full gate).
+    reuse = int(os.environ.get("BENCH_REUSE", "2"))
+    opts = ALMOptions(max_iter=2000, dual_refine_k=dual_k, max_ls=8,
+                      factor_reuse=reuse)
     compile_s = {}
 
     # ================= config 1: S10-Tempest flagship =================

@@ -278,6 +278,9 @@ def make_condensed_kkt(can: CanonicalNLP, refine: int = 2,
                 Yall = Yall[:T]
                 YW = Yall[..., :nB]
                 Yr_pre = Yall[..., nB]
+                if stage == "yw":
+                    keep = jnp.sum(Yall) + jnp.sum(fac_root)
+                    return rhs_v + keep * 1e-30, rhs_c
                 fac = None
 
                 def tri_solve_chain(_, F):

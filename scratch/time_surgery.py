@@ -118,7 +118,7 @@ def kkt_stage_variants():
         os.path.abspath(__file__))))
     from _kkt_stage import make_condensed_kkt as mk_stage
 
-    for st in ("assemble", "blocks", "factor", "full"):
+    for st in tuple(x for x in e("STAGES", "assemble,blocks,factor,full").split(",") if x):
         measure(f"kkt:{st}", mk_stage(can, refine=1, chain="crp", stage=st),
                 ALMOptions(max_iter=2000, dual_refine_k=4, max_ls=8))
 

@@ -134,6 +134,21 @@ class ALMOptions(NamedTuple):
     # update's ~0.5) at the cost of a stiffer condensed system; safe with
     # saddle refinement + float32 down to gamma ~1e-4 in scaled units.
     gamma_eager: bool = False
+    # Shamanskii / chord acceleration: one KKT factorization serves
+    # ``factor_reuse`` consecutive Newton steps (the first with a fresh
+    # factor, the rest re-solving fresh right-hand sides against the
+    # stale one).  Rationale (measured r05, scratch/time_surgery.py):
+    # the factor+border-column solve is ~60% of a TPU solver iteration,
+    # while a re-solve against a stored factorization is nearly free —
+    # so reuse=2 cuts the per-iteration cost ~35% at the classical
+    # Shamanskii convergence order (m+1 per cycle).  Stale-direction
+    # safety is unchanged: every sub-step keeps the descent check, the
+    # Armijo line search and the delta_w escalation.  Requires a KKT
+    # backend exposing ``.prepare`` (the condensed backend does);
+    # silently ignored otherwise.  Per-lane iteration counters advance
+    # per sub-step; a while-loop exit can overshoot ``params.max_iter``
+    # by at most reuse-1 iterations.
+    factor_reuse: int = 1
     verbose: bool = False
 
 
@@ -421,7 +436,11 @@ def solve(
             n0=jnp.zeros((), jnp.int32),
         )
 
-    def step(st: ALMState) -> ALMState:
+    def substep(st: ALMState, ap_stale):
+        """One damped-Newton step.  ``ap_stale``: a KKT apply closure
+        from a previous sub-step's factorization (chord step), or None
+        for a fresh factorization.  Returns (new_state, apply_closure).
+        """
         # Per-lane effective runtime params (phase continuation).
         if in_phase1:
             ph0 = st.phase == 0
@@ -452,8 +471,17 @@ def solve(
         delta_w = st.delta_w
         gamma_rows = jnp.broadcast_to(gamma, (can.m,)).astype(dtype)
         # The prox Hessian rho*I rides the same diagonal shift channel.
-        dv, dw = kkt_solve(v, y_al, sigma, delta_w + rho, gamma_rows,
-                           rhs_v, rhs_c, inst)
+        if ap_stale is not None:
+            ap = ap_stale
+            dv, dw = ap(rhs_v, rhs_c)
+        elif hasattr(kkt_solve, "prepare"):
+            ap = kkt_solve.prepare(v, y_al, sigma, delta_w + rho,
+                                   gamma_rows, inst)
+            dv, dw = ap(rhs_v, rhs_c)
+        else:
+            ap = None
+            dv, dw = kkt_solve(v, y_al, sigma, delta_w + rho, gamma_rows,
+                               rhs_v, rhs_c, inst)
         bad = ~(jnp.all(jnp.isfinite(dv)) & jnp.all(jnp.isfinite(dw)))
         dv = jnp.where(bad, 0.0, dv)
         dw = jnp.where(bad, 0.0, dw)
@@ -706,7 +734,17 @@ def solve(
         )
         return jax.tree_util.tree_map(
             lambda a, b: jnp.where(st.converged, a, b),
-            st._replace(it=st.it + 1), new)
+            st._replace(it=st.it + 1), new), ap
+
+    def step(st: ALMState) -> ALMState:
+        st_n, ap = substep(st, None)
+        # Chord sub-steps against the stored factorization (see
+        # ALMOptions.factor_reuse).  ap is None only for backends
+        # without .prepare, where reuse silently degrades to fresh
+        # solves per sub-step.
+        for _ in range(max(0, opts.factor_reuse - 1)):
+            st_n, _ = substep(st_n, ap)
+        return st_n
 
     def cond(st: ALMState):
         return (~st.converged) & (st.it < p2.max_iter)

@@ -89,8 +89,16 @@ def make_condensed_kkt(can: CanonicalNLP, refine: int = 2,
     defect_jac_dt = jax.vmap(jax.jacfwd(nlp.defect, argnums=2), in_axes=(0, 0, None, None))
     bnd_jac = jax.jacfwd(nlp.boundary, argnums=(0, 1, 2))
 
-    def kkt_solve(v, y_all, sigma, delta_w, delta_c, rhs_v, rhs_c, inst=None):
-        """``delta_c`` (Gamma) must be strictly positive; scalar or (m,)."""
+    def kkt_prepare(v, y_all, sigma, delta_w, delta_c, inst=None):
+        """Assemble + factorize at the current iterate; returns an
+        ``apply(rhs_v, rhs_c) -> (dv, dy)`` CLOSURE that solves against
+        the stored factorization (with ``refine`` saddle-refinement
+        passes).  The closure is meant for same-trace reuse — the
+        Shamanskii/chord pattern of ``ALMOptions.factor_reuse``: one
+        factorization serving several Newton steps with fresh
+        right-hand sides (the factor+border solve is ~60% of a solver
+        iteration on TPU; a re-solve against it is nearly free —
+        measured r05, scratch/time_surgery.py)."""
         inst = can.nlp._inst(inst)
         lb_all, _, fixed_all = can.bounds(inst)
         m0 = (~fixed_all[1:1 + NV]).astype(lb_all.dtype)  # free mask, node 0
@@ -243,7 +251,6 @@ def make_condensed_kkt(can: CanonicalNLP, refine: int = 2,
             rB = jnp.concatenate([rz[0], jnp.reshape(r_dt_c, (1,)), r_s_c])
             return rz, rB, rc_d, rc_b
 
-        Yr_pre = None
         if chain in ("cr", "crp", "spike"):
             if chain == "cr":
                 fac = cr_factor(M_chain, O_chain)
@@ -255,19 +262,14 @@ def make_condensed_kkt(can: CanonicalNLP, refine: int = 2,
                 n_pad = 1
                 while n_pad < T:
                     n_pad *= 2
-                # FUSED factor + border columns + first Newton rhs: the
+                # FUSED factor + border-column forward elimination: the
                 # separate forward pass would re-read every level's
-                # pivot/coupling data from HBM; all these columns are
+                # pivot/coupling data from HBM; the border columns are
                 # known before the factor, so they eliminate in the same
                 # pass (tol_tpu/ops/crkern.py::_factor_fwd_kernel).
-                rz1, _, _, _ = condense_rhs(
-                    jnp.where(fixed_all, 0.0, rhs_v), rhs_c)
-                Wfull = jnp.concatenate([Wc, rz1[1:][..., None]], axis=2)
                 fac_levels, fac_root, Yall = crp_factor_solve(
-                    M_chain, O_chain, Wfull)
-                Yall = Yall[:T]
-                YW = Yall[..., :nB]
-                Yr_pre = Yall[..., nB]
+                    M_chain, O_chain, Wc)
+                YW = Yall[:T]
                 fac = None
 
                 def tri_solve_chain(_, F):
@@ -318,7 +320,7 @@ def make_condensed_kkt(can: CanonicalNLP, refine: int = 2,
 
         # ---------------- solves reusing the stored factors ---------------
 
-        def solve_once(rhs_v_, rhs_c_, Yr_pre=None):
+        def solve_once(rhs_v_, rhs_c_):
             rz, rB, rc_d, rc_b = condense_rhs(rhs_v_, rhs_c_)
 
             if chain == "pallas":
@@ -333,8 +335,7 @@ def make_condensed_kkt(can: CanonicalNLP, refine: int = 2,
                     jnp.concatenate([tRw_p, tr_p[:, :, None]], axis=2),
                     t2p, coef)
             elif chain in ("cr", "crp", "spike"):
-                Yr = (Yr_pre if Yr_pre is not None
-                      else tri_solve_chain(fac, rz[1:][..., None])[..., 0])
+                Yr = tri_solve_chain(fac, rz[1:][..., None])[..., 0]
                 rB_acc = rB - jnp.sum(bmv_t(Wc, Yr), axis=0)
                 yb_ = tri_solve_unrolled(L_border_cr, rB_acc[..., None],
                                          lower=True)
@@ -379,15 +380,25 @@ def make_condensed_kkt(can: CanonicalNLP, refine: int = 2,
             dy_out = jnp.concatenate([dy_d.reshape(-1), dy_b])
             return dv_out, dy_out
 
-        rhs_v_eff = jnp.where(fixed_all, 0.0, rhs_v)
-        dv, dy = solve_once(rhs_v_eff, rhs_c, Yr_pre)
-        for _ in range(refine):
-            a1, a2 = apply_saddle(dv, dy)
-            e1 = jnp.where(fixed_all, 0.0, rhs_v_eff - a1)
-            e2 = rhs_c - a2
-            cv, cy = solve_once(e1, e2)
-            dv = dv + cv
-            dy = dy + cy
-        return dv, dy
+        def apply_fn(rhs_v, rhs_c):
+            rhs_v_eff = jnp.where(fixed_all, 0.0, rhs_v)
+            dv, dy = solve_once(rhs_v_eff, rhs_c)
+            for _ in range(refine):
+                a1, a2 = apply_saddle(dv, dy)
+                e1 = jnp.where(fixed_all, 0.0, rhs_v_eff - a1)
+                e2 = rhs_c - a2
+                cv, cy = solve_once(e1, e2)
+                dv = dv + cv
+                dy = dy + cy
+            return dv, dy
 
+        return apply_fn
+
+    def kkt_solve(v, y_all, sigma, delta_w, delta_c, rhs_v, rhs_c,
+                  inst=None):
+        """``delta_c`` (Gamma) must be strictly positive; scalar or (m,)."""
+        return kkt_prepare(v, y_all, sigma, delta_w, delta_c, inst)(
+            rhs_v, rhs_c)
+
+    kkt_solve.prepare = kkt_prepare
     return kkt_solve
