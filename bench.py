@@ -133,11 +133,14 @@ def main():
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     # max_ls=8: line-search trials 12 -> 8 is quality-neutral on the gate
     # (scratch/tune_sched.py: identical ok counts) and ~10% faster.
-    # factor_reuse=2 (Shamanskii chord steps): the KKT factor+border
-    # solve is ~60% of a TPU iteration (scratch/time_surgery.py); one
-    # factorization serving two steps cuts per-iteration cost ~35% at a
-    # small iteration-count premium (bench-verified on the full gate).
-    reuse = int(os.environ.get("BENCH_REUSE", "2"))
+    # factor_reuse (Shamanskii chord steps) measured and kept OFF for the
+    # flagship gate: reuse=2 converges (1022/1024 feasible, median 160
+    # iters) but the chord-stepped dive selects worse basins — median
+    # cost gap 8.9e-3 -> 1.65e-2, failing the optimality gate — and the
+    # wall does not improve.  Another confirmation that the dive is
+    # quality-critical (r04: shorter/cheaper dives all failed the same
+    # way).  The option remains for warm-started local solves.
+    reuse = int(os.environ.get("BENCH_REUSE", "1"))
     opts = ALMOptions(max_iter=2000, dual_refine_k=dual_k, max_ls=8,
                       factor_reuse=reuse)
     compile_s = {}
@@ -298,15 +301,23 @@ def main():
                              dtype=dtype)
         can_g = canonicalize(nlp_g, scaling="auto")
         kkt_g = make_condensed_kkt(can_g, refine=refine, chain=chain)
-        # Measured G7 configuration: no exploration phase, float32-safe
-        # gamma floor 5e-6; r04 retune (scratch/tune_g7b.py) — the same
-        # warm-barrier endgame as S10 (mu_init 6e-5, kappa_inner 2,
-        # prox 2.5e-3) takes G7 from 253/256 at median 438 iterations to
-        # 256/256 at median 303.
+        # Measured G7 configuration (r05 retune, scratch/tune_g7b.py):
+        # warm-barrier endgame (mu_init 6e-5, kappa_inner 2, prox 2.5e-3)
+        # + FASTER penalty contraction gamma_shrink=0.12 + a SHORT
+        # 40-iteration exploration dive — 256/256 at median 283
+        # iterations (r04: 303, r03: 438), ~199 solves/s on one chip
+        # with the chunk-128 kernels.  Deeper dual refinement (k=8/12)
+        # and neighbor schedules measured and rejected.
         p_g = _params(dtype, tol=tol, feas_tol=feas, gamma_min=5e-6,
                       prox=2.5e-3, mu_init=6e-5, kappa_inner=2.0,
+                      gamma_shrink=0.12,
                       max_iter=int(os.environ.get("BENCH_G7_ITER", "600")))
-        ph_g = Phase1(params=p_g, n_max=jnp.asarray(0, jnp.int32),
+        p1_g = _params(dtype, tol=1e-12, feas_tol=1e-12, prox=0.0,
+                       gamma_eager=0.0, max_iter=600)
+        ph_g = Phase1(params=p1_g,
+                      n_max=jnp.asarray(
+                          int(os.environ.get("BENCH_G7_N1", "40")),
+                          jnp.int32),
                       exit_df=jnp.asarray(-1.0, dtype), patience=3)
 
         @jax.jit

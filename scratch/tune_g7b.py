@@ -36,7 +36,7 @@ nlp = make_problem("G7", aircraft="skywalker", ts=ts, wind_model=1,
                    dtype=dtype)
 can = canonicalize(nlp, scaling="auto")
 kkt = make_condensed_kkt(can, refine=1, chain="crp")
-opts = ALMOptions(max_iter=2000, dual_refine_k=4, max_ls=8)
+opts = ALMOptions(max_iter=2000, dual_refine_k=int(e("DUALK", "4")), max_ls=8)
 
 
 def params(**kw):

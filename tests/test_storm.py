@@ -113,3 +113,38 @@ def test_gridded_solve_matches_boundary_layer():
     # same NLP -> same optimum (dt and cost agree tightly)
     assert float(results[3][0]) == pytest.approx(float(results[1][0]),
                                                  rel=1e-5)
+
+
+def test_golden_storm_point_is_certified():
+    """The committed storm oracle (tests/golden_storm_ts100.npy,
+    scratch/make_golden_storm.py) must be feasible to near-f64 precision
+    on the EXACT bench storm problem (nonuniform demo grid, C1 spline
+    interpolation) — this pins the grid generator, the interpolation
+    order and the oracle file together; any drift breaks feasibility."""
+    import os
+
+    import jax.numpy as jnp
+
+    from tol_tpu.api import make_problem
+    from tol_tpu.io.storm import make_demo_storm_grid
+    from tol_tpu.models.wind import WindConfig
+    from tol_tpu.solver import canonicalize
+
+    path = os.path.join(os.path.dirname(__file__),
+                        "golden_storm_ts100.npy")
+    vp = np.load(path)
+    grid = make_demo_storm_grid()
+    wcfg = WindConfig(model=3, east0=17400.0, north0=25800.0, up0=200.0,
+                      grid=grid, order=2)
+    nlp = make_problem("S10", aircraft="tempest", ts=100, wind_model=3,
+                       wind=wcfg)
+    can = canonicalize(nlp, scaling="auto")
+    v = can.from_physical(jnp.asarray(vp))
+    viol = float(jnp.max(jnp.abs(can.c(v, nlp.inst0))))
+    assert viol < 1e-7, viol
+    f = float(can.f(v, nlp.inst0))
+    # Certified stationary cost (ALM f64, KKT 6.7e-6; scipy trust-constr
+    # referee lands 33% above from the same start).  The bench gates
+    # storm lanes at cost gap < 1e-2 vs this value.
+    seed_f = float(can.f(can.initial_point(), nlp.inst0))
+    assert f < seed_f

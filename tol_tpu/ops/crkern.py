@@ -98,12 +98,16 @@ def _interleave(xe, xo, Bb):
     return out.reshape(a, b, 2 * h * Bb)
 
 
-# Fused-batch lanes per grid step: the unrolled Cholesky-inverse body
-# keeps ~2-3 full matrices of (b, chunk) column temporaries live, and the
-# TPU scoped-vmem budget for kernel temporaries is 16M: measured demand
-# was 44M at chunk 4096 and 20.3M at 1024, so 512 (~10M) is the widest
-# chunk that fits.
-_LANE_CHUNK = 512
+# Fused-batch lanes per grid step.  128 is the Pallas floor (last block
+# dim must be 128-divisible) and also the measured optimum: the r05
+# in-loop sweep (scratch/time_iter.py, TOL_CRP_CHUNK env) gives
+# 2.91 / 3.17 / 3.33 ms per 256-lane solver iteration at chunk
+# 128 / 256 / 512 — smaller grid steps pipeline better and keep the
+# unrolled Cholesky-inverse temporaries (~2-3 (b, chunk) matrices; 16M
+# scoped-vmem budget, 44M demand at 4096) comfortably resident.
+import os as _os
+
+_LANE_CHUNK = int(_os.environ.get("TOL_CRP_CHUNK", "128"))
 
 
 def _call_level(kernel, ins, n_out, out_dims, pB, dtype):
