@@ -181,8 +181,25 @@ def main():
     # (tol_tpu/solver/batch.py) — the bench consumes the production path.
     from tol_tpu.solver.batch import make_grouped_solver
 
-    gsolve = make_grouped_solver(can, kkt, opts, group_size=GB,
-                                 drain_size=DB)
+    # Two-body group program (r05): the dive phase runs a cheap body
+    # (fewer line-search trials, refine=0 KKT, no dual refinement) under
+    # a scalar lax.cond — the dive is ~62% of all iterations and pays
+    # nothing for endgame-only machinery.
+    two = os.environ.get("BENCH_TWOBODY", "0") == "1"
+    if two:
+        dive_opts = ALMOptions(
+            max_iter=2000, dual_refine_k=0,
+            max_ls=int(os.environ.get("BENCH_DIVE_LS", "4")),
+            factor_reuse=1)
+        kkt_dive = make_condensed_kkt(
+            can, refine=int(os.environ.get("BENCH_DIVE_REFINE", "0")),
+            chain=chain)
+        gsolve = make_grouped_solver(can, kkt, opts, group_size=GB,
+                                     drain_size=DB, dive_opts=dive_opts,
+                                     dive_kkt=kkt_dive)
+    else:
+        gsolve = make_grouped_solver(can, kkt, opts, group_size=GB,
+                                     drain_size=DB)
 
     def seeds_for(insts, key, n):
         v0 = jax.vmap(can.initial_point)(insts)
@@ -212,8 +229,15 @@ def main():
     # ONE batched solver iteration; achieved = flops/iter * iters paid.
     from tol_tpu.utils.flops import peak_flops, program_flops
 
-    flops_per_iter = program_flops(gsolve.run_group, can.nlp.inst0,
-                                   v0s[:GB], p1, p2, ph_n, ph_df)
+    if hasattr(gsolve.run_group, "run_dive"):
+        # Two-body mode: run_group is a host-side chain of two jitted
+        # programs; lower the dive program (its while body is one batched
+        # dive iteration — slightly below the endgame iteration's cost).
+        flops_per_iter = program_flops(gsolve.run_group.run_dive,
+                                       can.nlp.inst0, v0s[:GB], p1, p2, ph_n)
+    else:
+        flops_per_iter = program_flops(gsolve.run_group, can.nlp.inst0,
+                                       v0s[:GB], p1, p2, ph_n, ph_df)
     achieved = (flops_per_iter * (group_iters + (DB / GB) * drain_iters)
                 / elapsed)
     peak = peak_flops()
@@ -308,22 +332,33 @@ def main():
         # iterations (r04: 303, r03: 438), ~199 solves/s on one chip
         # with the chunk-128 kernels.  Deeper dual refinement (k=8/12)
         # and neighbor schedules measured and rejected.
+        g7_iter = int(os.environ.get("BENCH_G7_ITER", "600"))
+        g7_cap = int(os.environ.get("BENCH_G7_CAP", "330"))
+        g7_n1 = int(os.environ.get("BENCH_G7_N1", "40"))
         p_g = _params(dtype, tol=tol, feas_tol=feas, gamma_min=5e-6,
                       prox=2.5e-3, mu_init=6e-5, kappa_inner=2.0,
-                      gamma_shrink=0.12,
-                      max_iter=int(os.environ.get("BENCH_G7_ITER", "600")))
+                      gamma_shrink=0.12, max_iter=g7_cap)
+        p_gd = _params(dtype, tol=tol, feas_tol=feas, gamma_min=5e-6,
+                       prox=2.5e-3, mu_init=6e-5, kappa_inner=2.0,
+                       gamma_shrink=0.12, max_iter=g7_iter)
         p1_g = _params(dtype, tol=1e-12, feas_tol=1e-12, prox=0.0,
                        gamma_eager=0.0, max_iter=600)
-        ph_g = Phase1(params=p1_g,
-                      n_max=jnp.asarray(
-                          int(os.environ.get("BENCH_G7_N1", "40")),
-                          jnp.int32),
-                      exit_df=jnp.asarray(-1.0, dtype), patience=3)
-
-        @jax.jit
-        def run_g7(v0s, p):
-            return jax.vmap(lambda v: alm_solve(can_g, kkt_g, opts, v0=v,
-                                                params=p, phase1=ph_g))(v0s)
+        # G7 runs the same grouped + straggler-drain (+ two-body)
+        # geometry as the flagship (r05): 128-lane groups to a runtime
+        # cap, drain chunks resume the long tail — G7's iteration spread
+        # is wide (median ~283 against a 600 budget), so the monolithic
+        # batch paid max-lane cost.
+        if two:
+            gsolve_g = make_grouped_solver(
+                can_g, kkt_g, opts, group_size=GB, drain_size=DB,
+                dive_opts=dive_opts,
+                dive_kkt=make_condensed_kkt(
+                    can_g,
+                    refine=int(os.environ.get("BENCH_DIVE_REFINE", "0")),
+                    chain=chain))
+        else:
+            gsolve_g = make_grouped_solver(can_g, kkt_g, opts,
+                                           group_size=GB, drain_size=DB)
 
         v0g = can_g.initial_point()
         lbg, ubg, fxg = can_g.bounds(can_g.nlp.inst0)
@@ -331,13 +366,13 @@ def main():
                                        (g7_batch, can_g.n), dtype=dtype)
         v0gs = jnp.clip(v0g[None] + dvg, lbg[None], ubg[None])
         v0gs = jnp.where(fxg[None], lbg[None], v0gs)
+        g_insts_g = [can_g.nlp.inst0] * (g7_batch // GB)
+        inst_g = _stack_instances([can_g.nlp.inst0] * g7_batch)
         t0 = time.time()
-        og = run_g7(v0gs, p_g)
-        jax.block_until_ready(og.f)
+        og = gsolve_g(g_insts_g, inst_g, v0gs, p1_g, p_g, p_gd, g7_n1, -1.0)
         compile_s["g7"] = round(time.time() - t0, 1)
         t0 = time.time()
-        og = run_g7(v0gs, p_g)
-        jax.block_until_ready(og.f)
+        og = gsolve_g(g_insts_g, inst_g, v0gs, p1_g, p_g, p_gd, g7_n1, -1.0)
         g7_wall = time.time() - t0
         compile_s["g7"] = round(compile_s["g7"] - g7_wall, 1)
         convg = np.asarray(og.converged)

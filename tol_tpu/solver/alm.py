@@ -305,43 +305,35 @@ def _cg(Aop, b, x0, k):
     return jnp.where(jnp.all(jnp.isfinite(x)), x, x0)
 
 
-def solve(
-    can: CanonicalNLP,
-    kkt_solve: Callable,
-    opts: ALMOptions = ALMOptions(),
-    inst=None,
-    v0: jax.Array | None = None,
-    y0: jax.Array | None = None,
-    params: ALMParams | None = None,
-    phase1: Phase1 | None = None,
-    state0: "ALMState | None" = None,
-    keep_state: bool = False,
-) -> ALMResult:
-    """Solve one canonical NLP instance.
+class _Kernel(NamedTuple):
+    """The per-instance solver kernel — init + one damped-Newton substep —
+    extracted from :func:`solve` so batch-level drivers (the two-body
+    dive/endgame loop in ``tol_tpu/solver/batch.py``) can reuse the exact
+    production step under their own loop structure."""
 
-    Batch by vmapping over stacked ``inst`` pytrees and/or ``v0``.
-    ``params``/``phase1`` are runtime pytrees — pass them through jit as
-    arguments to retune without recompiling.
+    init_state: Callable   # (p_start, p2, in_phase1) -> ALMState
+    substep: Callable      # (st, ap_stale, p1, p2, phase1) -> (ALMState, ap)
+    kkt_errors: Callable   # (v, y, zl, zu, mu) -> (err, viol, e_d, e_c)
+    f_fn: Callable
+    c_fn: Callable
 
-    ``state0`` resumes a previous partial solve exactly where it stopped
-    (pass ``keep_state=True`` on the first call to get ``result.state``;
-    the iteration counter continues, so ``params.max_iter`` stays a
-    *total* per-lane budget).  The straggler-drain pattern: run the big
-    batch to a runtime cap, host-gather the unconverged lanes' states
-    into a small batch, resume them in a second (cheaper) program.
+
+def make_kernel(can: CanonicalNLP, kkt_solve: Callable, opts: ALMOptions,
+                inst, v0: jax.Array, y0: jax.Array | None = None) -> _Kernel:
+    """Build the solver kernel closures for one instance (see
+    :class:`_Kernel`).  ``substep`` computes its effective runtime params
+    from the lane's phase flag when ``phase1`` is passed (the in-loop
+    continuation of :func:`solve`), or uses ``p2`` directly when
+    ``phase1`` is None — the batch-level two-body driver passes the dive
+    params as ``p2`` during the dive (states hold ``phase=0`` so the
+    convergence flag stays off) and the endgame params after the switch.
     """
 
     inst = can.nlp._inst(inst)
     lb, ub, fixed = can.bounds(inst)
     has_lb = (lb > -_BIG) & ~fixed
     has_ub = (ub < _BIG) & ~fixed
-
-    if v0 is None:
-        v0 = can.initial_point(inst)
     dtype = v0.dtype
-
-    p2 = params if params is not None else ALMParams.from_options(opts, dtype)
-    p1 = phase1.params if phase1 is not None else p2
 
     f_fn = lambda v: can.f(v, inst)
     c_fn = lambda v: can.c(v, inst)
@@ -409,10 +401,7 @@ def solve(
         """KKT error of the *original* NLP at multiplier estimate y."""
         return _errors_at(_kkt_parts(v, y, zl, zu), mu)
 
-    in_phase1 = phase1 is not None
-
-    def init_state():
-        p0 = p1 if in_phase1 else p2
+    def init_state(p0: ALMParams, p2: ALMParams, in_phase1: bool):
         v = interior_push(v0)
         mu = p0.mu_init.astype(dtype)
         dl = jnp.where(has_lb, v - lb, 1.0)
@@ -436,13 +425,14 @@ def solve(
             n0=jnp.zeros((), jnp.int32),
         )
 
-    def substep(st: ALMState, ap_stale):
+    def substep(st: ALMState, ap_stale, p1: ALMParams, p2: ALMParams,
+                phase1: Phase1 | None):
         """One damped-Newton step.  ``ap_stale``: a KKT apply closure
         from a previous sub-step's factorization (chord step), or None
         for a fresh factorization.  Returns (new_state, apply_closure).
         """
         # Per-lane effective runtime params (phase continuation).
-        if in_phase1:
+        if phase1 is not None:
             ph0 = st.phase == 0
             eff = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(ph0, a, b), p1, p2)
@@ -691,7 +681,7 @@ def solve(
             & (st.phase == 1)
 
         # ---- phase-0 exit: cost-descent stall detection ----
-        if in_phase1:
+        if phase1 is not None:
             rel_df = (st.f_prev - f_n) / jnp.maximum(jnp.abs(f_n), 1e-12)
             is_slow = rel_df < phase1.exit_df.astype(dtype)
             slow_n = jnp.where(
@@ -736,14 +726,55 @@ def solve(
             lambda a, b: jnp.where(st.converged, a, b),
             st._replace(it=st.it + 1), new), ap
 
+    return _Kernel(init_state=init_state, substep=substep,
+                   kkt_errors=kkt_errors, f_fn=f_fn, c_fn=c_fn)
+
+
+def solve(
+    can: CanonicalNLP,
+    kkt_solve: Callable,
+    opts: ALMOptions = ALMOptions(),
+    inst=None,
+    v0: jax.Array | None = None,
+    y0: jax.Array | None = None,
+    params: ALMParams | None = None,
+    phase1: Phase1 | None = None,
+    state0: "ALMState | None" = None,
+    keep_state: bool = False,
+) -> ALMResult:
+    """Solve one canonical NLP instance.
+
+    Batch by vmapping over stacked ``inst`` pytrees and/or ``v0``.
+    ``params``/``phase1`` are runtime pytrees — pass them through jit as
+    arguments to retune without recompiling.
+
+    ``state0`` resumes a previous partial solve exactly where it stopped
+    (pass ``keep_state=True`` on the first call to get ``result.state``;
+    the iteration counter continues, so ``params.max_iter`` stays a
+    *total* per-lane budget).  The straggler-drain pattern: run the big
+    batch to a runtime cap, host-gather the unconverged lanes' states
+    into a small batch, resume them in a second (cheaper) program.
+    """
+
+    inst = can.nlp._inst(inst)
+    if v0 is None:
+        v0 = can.initial_point(inst)
+    dtype = v0.dtype
+
+    p2 = params if params is not None else ALMParams.from_options(opts, dtype)
+    p1 = phase1.params if phase1 is not None else p2
+
+    kern = make_kernel(can, kkt_solve, opts, inst, v0, y0)
+    f_fn, c_fn, kkt_errors = kern.f_fn, kern.c_fn, kern.kkt_errors
+
     def step(st: ALMState) -> ALMState:
-        st_n, ap = substep(st, None)
+        st_n, ap = kern.substep(st, None, p1, p2, phase1)
         # Chord sub-steps against the stored factorization (see
         # ALMOptions.factor_reuse).  ap is None only for backends
         # without .prepare, where reuse silently degrades to fresh
         # solves per sub-step.
         for _ in range(max(0, opts.factor_reuse - 1)):
-            st_n, _ = substep(st_n, ap)
+            st_n, _ = kern.substep(st_n, ap, p1, p2, phase1)
         return st_n
 
     def cond(st: ALMState):
@@ -753,7 +784,9 @@ def solve(
     # survive 8-bit mantissas.  "highest" forces true float32 MXU passes
     # (and is a no-op for float64 on CPU).
     with jax.default_matmul_precision("highest"):
-        st_init = init_state() if state0 is None else state0
+        st_init = (kern.init_state(p1 if phase1 is not None else p2, p2,
+                                   phase1 is not None)
+                   if state0 is None else state0)
         if opts.trace:
             # Diagnostic mode: fixed-length scan recording per-iteration
             # scalars (works on TPU where debug callbacks are unavailable).

@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tol_tpu.solver.alm import ALMOptions, ALMParams, Phase1, solve as alm_solve
+from tol_tpu.solver.alm import (ALMOptions, ALMParams, Phase1,
+                                phase_switch_state, solve as alm_solve)
 from tol_tpu.solver.canonical import CanonicalNLP
 
 
@@ -47,7 +48,9 @@ class GroupedResult(NamedTuple):
 
 def make_grouped_solver(can: CanonicalNLP, kkt_solve: Callable,
                         opts: ALMOptions, group_size: int = 256,
-                        drain_size: int = 128) -> Callable:
+                        drain_size: int = 128,
+                        dive_opts: ALMOptions | None = None,
+                        dive_kkt: Callable | None = None) -> Callable:
     """Build the grouped solver.  Returns
 
         solve(group_insts, insts, v0s, p1, p2, p2_drain, n1, exit_df)
@@ -60,15 +63,65 @@ def make_grouped_solver(can: CanonicalNLP, kkt_solve: Callable,
     groups), ``v0s`` the (N, n) seeds, ``p1``/``p2`` the dive/endgame
     runtime params (``p2.max_iter`` = the group cap), ``p2_drain`` the
     drain params (``max_iter`` = the full per-lane budget).
+
+    ``dive_opts`` switches the group program to the TWO-BODY loop: a
+    batch-level ``lax.while_loop`` whose body is a scalar ``lax.cond``
+    selecting a cheap exploration body (``dive_opts``/``dive_kkt`` —
+    e.g. fewer line-search trials, no saddle refinement, no dual
+    refinement) while the batch-uniform iteration counter is below
+    ``n1``, and the full endgame body (``opts``/``kkt_solve``, incl.
+    ``opts.factor_reuse`` chord sub-steps) after.  Only the taken branch
+    executes per trip — the dive phase stops paying for endgame-only
+    machinery.  Requires the fixed-length dive the bench uses
+    (``exit_df`` is ignored; the per-lane stall exit of the in-loop
+    :class:`Phase1` continuation is a no-op at ``exit_df=-1`` anyway).
+    The drain path is unchanged (resumed lanes are all phase-1).
     """
     GB, DB = group_size, drain_size
+    two_body = dive_opts is not None
+    kkt_dive = dive_kkt if dive_kkt is not None else kkt_solve
 
-    @jax.jit
-    def run_group(inst, v0s, p1, p2, n_max, exit_df):
-        ph = Phase1(params=p1, n_max=n_max, exit_df=exit_df, patience=3)
-        return jax.vmap(lambda v: alm_solve(can, kkt_solve, opts, inst=inst,
-                                            v0=v, params=p2, phase1=ph,
-                                            keep_state=True))(v0s)
+    if two_body:
+        # Two chained jitted programs per group, no host sync between
+        # them (the endgame consumes the dive's device-resident states).
+        # A scalar-lax.cond single-program variant was measured first and
+        # rejected: the conditional denies XLA the loop-level schedule it
+        # builds for a static while body, and the measured dive cost
+        # barely moved (1.58 -> 1.39 ms/iter vs 0.98 for the same body
+        # compiled statically).  The dive program never converges a lane
+        # (tol 1e-12), runs exactly ``n1`` iterations, and hands the
+        # switched states (multiplier absorption, schedule restart —
+        # :func:`phase_switch_state`) to the endgame program.
+        @jax.jit
+        def run_dive(inst, v0s, p1, p2, n_max):
+            p1d = p1._replace(max_iter=n_max)
+            out = jax.vmap(
+                lambda v: alm_solve(can, kkt_dive, dive_opts, inst=inst,
+                                    v0=v, params=p1d, keep_state=True))(v0s)
+            return jax.vmap(
+                lambda s: phase_switch_state(can, s, p2, inst))(out.state)
+
+        @jax.jit
+        def run_end(inst, st, p2):
+            return jax.vmap(
+                lambda s: alm_solve(can, kkt_solve, opts, inst=inst,
+                                    params=p2, state0=s,
+                                    keep_state=True))(st)
+
+        def run_group(inst, v0s, p1, p2, n_max, exit_df):
+            del exit_df  # fixed-length dive only
+            return run_end(inst, run_dive(inst, v0s, p1, p2, n_max), p2)
+
+        run_group.run_dive = run_dive
+        run_group.run_end = run_end
+    else:
+        @jax.jit
+        def run_group(inst, v0s, p1, p2, n_max, exit_df):
+            ph = Phase1(params=p1, n_max=n_max, exit_df=exit_df, patience=3)
+            return jax.vmap(lambda v: alm_solve(can, kkt_solve, opts,
+                                                inst=inst,
+                                                v0=v, params=p2, phase1=ph,
+                                                keep_state=True))(v0s)
 
     @jax.jit
     def run_drain(insts, st, p1, p2, n_max, exit_df):
@@ -91,6 +144,11 @@ def make_grouped_solver(can: CanonicalNLP, kkt_solve: Callable,
     def solve(group_insts: Sequence, insts, v0s, p1: ALMParams,
               p2: ALMParams, p2_drain: ALMParams,
               n1, exit_df) -> GroupedResult:
+        import os
+        import time as _time
+
+        dbg = os.environ.get("TOL_BATCH_DEBUG", "0") == "1"
+        t0 = _time.time()
         n = v0s.shape[0]
         assert n == len(group_insts) * GB, (n, len(group_insts), GB)
         n_max = jnp.asarray(n1, jnp.int32)
@@ -102,6 +160,10 @@ def make_grouped_solver(can: CanonicalNLP, kkt_solve: Callable,
         merged = _merge_fields(fields)
         conv, viol, fs, its, kks, vs = [np.array(x)
                                         for x in jax.device_get(merged)]
+        if dbg:
+            print(f"[batch] group phase {_time.time() - t0:.3f}s",
+                  flush=True)
+            t0 = _time.time()
         fs = fs.astype(np.float64)
         group_iters = sum(int(np.max(its[g * GB:(g + 1) * GB]))
                           for g in range(len(outs)))
@@ -131,6 +193,9 @@ def make_grouped_solver(can: CanonicalNLP, kkt_solve: Callable,
                 kks[sel] = dkks[o0:o0 + m]
                 vs[sel] = dvs[o0:o0 + m]
                 drain_iters += max(0, int(dits[o0:o0 + m].max()) - cap1)
+        if dbg:
+            print(f"[batch] drain phase {_time.time() - t0:.3f}s "
+                  f"({len(idx)} lanes)", flush=True)
         return GroupedResult(conv, viol, fs, its, kks, vs,
                              group_iters, drain_iters)
 
