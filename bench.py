@@ -31,14 +31,18 @@ depth elimination order is what preserves the Newton direction's flat-
 valley components in float32 (sequential orderings plateau ~40% above
 the optimality gate; see tol_tpu/ops/crkern.py).
 
-Execution geometry (r04): the batch runs through
-tol_tpu.solver.batch.make_grouped_solver — independent 256-lane groups
-(per-lane iteration cost is ~30% cheaper at B=256 than B=1024 on this
-chip, measured in scratch/time_iter.py), then the unconverged stragglers
-gather into 128-lane drain chunks that resume exactly (ALMState handoff)
-and finish the full budget — the batch stops paying max-lane cost.
-Identical seeds, solves and gate constants; the detail block reports
-flops/iteration and MFU.
+Execution geometry (r05): the batch runs through
+tol_tpu.solver.batch.make_grouped_solver — independent 128-lane groups,
+each solved by the TWO-BODY program pair (a dive program specialized to
+exploration: 4 line-search trials, no saddle-refine pass, no dual CG —
+chained on-device into the full endgame program via phase_switch_state),
+then the unconverged stragglers gather into 128-lane drain chunks that
+resume exactly (ALMState handoff) and finish the full budget — the
+batch stops paying max-lane cost.  Identical seeds, solves and gate
+constants; the detail block reports flops/iteration and MFU.
+Measured r05 (this box): 446 -> 476 gated solves/s from the two-body
+split; N1=110 dives, chord endgames (factor_reuse=2) and pallas-seq
+dive chains all measured and rejected on the optimality gate.
 
 Configs (BASELINE.json):
   1. S10-Tempest ts=100, batch 1024      -> the headline gate
@@ -127,7 +131,7 @@ def main():
     from tol_tpu.models.wind import WindConfig
     from tol_tpu.problems.base import make_instance
     from tol_tpu.solver import canonicalize
-    from tol_tpu.solver.alm import ALMOptions, Phase1, solve as alm_solve
+    from tol_tpu.solver.alm import ALMOptions
     from tol_tpu.solver.kkt_condensed import make_condensed_kkt
 
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -153,7 +157,7 @@ def main():
     # gathered (state0 resume) into DB-lane drain chunks that finish the
     # full budget at a fraction of full-batch cost — wall drops from
     # max-lane to ~group-cap cost.  Same seeds, same solves, same gate.
-    GB = int(os.environ.get("BENCH_GROUP", "256"))
+    GB = int(os.environ.get("BENCH_GROUP", "128"))
     DB = int(os.environ.get("BENCH_DRAIN", "128"))
     cap1 = int(os.environ.get("BENCH_CAP1", "145"))
     nlp = make_problem("S10", aircraft="tempest", ts=ts, wind_model=1,
@@ -185,15 +189,23 @@ def main():
     # (fewer line-search trials, refine=0 KKT, no dual refinement) under
     # a scalar lax.cond — the dive is ~62% of all iterations and pays
     # nothing for endgame-only machinery.
-    two = os.environ.get("BENCH_TWOBODY", "0") == "1"
+    two = os.environ.get("BENCH_TWOBODY", "1") == "1"
     if two:
         dive_opts = ALMOptions(
             max_iter=2000, dual_refine_k=0,
             max_ls=int(os.environ.get("BENCH_DIVE_LS", "4")),
             factor_reuse=1)
+        # Dive chain stays crp: the fused sequential pallas kernel would
+        # halve the dive iteration cost (0.62 vs 1.25 ms at B=128) but
+        # fails the optimality gate end-to-end (median cost gap 8.8e-3 ->
+        # 1.29e-2, 0/1024 pass) — CR's low-depth elimination order
+        # preserves the flat-valley direction components DURING the dive
+        # too, not just in the endgame (ops/crkern.py).  Measured r05;
+        # same failure signature as every other cheapened dive.
+        dive_chain = os.environ.get("BENCH_DIVE_CHAIN", chain)
         kkt_dive = make_condensed_kkt(
             can, refine=int(os.environ.get("BENCH_DIVE_REFINE", "0")),
-            chain=chain)
+            chain=dive_chain)
         gsolve = make_grouped_solver(can, kkt, opts, group_size=GB,
                                      drain_size=DB, dive_opts=dive_opts,
                                      dive_kkt=kkt_dive)
@@ -355,7 +367,7 @@ def main():
                 dive_kkt=make_condensed_kkt(
                     can_g,
                     refine=int(os.environ.get("BENCH_DIVE_REFINE", "0")),
-                    chain=chain))
+                    chain=dive_chain))
         else:
             gsolve_g = make_grouped_solver(can_g, kkt_g, opts,
                                            group_size=GB, drain_size=DB)
@@ -491,12 +503,29 @@ def main():
                              wind=wcfg, dtype=dtype)
         can_s = canonicalize(nlp_s, scaling="auto")
         kkt_s = make_condensed_kkt(can_s, refine=refine, chain=chain)
-
-        @jax.jit
-        def run_storm(v0s, p1, p2, n_max, exit_df):
-            ph = Phase1(params=p1, n_max=n_max, exit_df=exit_df, patience=3)
-            return jax.vmap(lambda v: alm_solve(can_s, kkt_s, opts, v0=v,
-                                                params=p2, phase1=ph))(v0s)
+        # Storm runs the same grouped + two-body + drain geometry as the
+        # flagship (r05; was a monolithic 256-lane vmap paying max-lane
+        # cost), with a 4-trial endgame line search: a model-3 constraint
+        # evaluation is ~5x a model-1 one (27-node spline stencil + AD),
+        # so the 8-trial Armijo's extra f/c evals dominated the storm
+        # iteration.  Quality is policed by the f64 storm-oracle gate.
+        storm_cap = int(os.environ.get("BENCH_STORM_CAP", "175"))
+        storm_ls = int(os.environ.get("BENCH_STORM_LS", "4"))
+        opts_s = ALMOptions(max_iter=2000, dual_refine_k=dual_k,
+                            max_ls=storm_ls, factor_reuse=reuse)
+        if two:
+            gsolve_s = make_grouped_solver(
+                can_s, kkt_s, opts_s, group_size=GB, drain_size=DB,
+                dive_opts=dive_opts,
+                dive_kkt=make_condensed_kkt(
+                    can_s,
+                    refine=int(os.environ.get("BENCH_DIVE_REFINE", "0")),
+                    chain=dive_chain))
+        else:
+            gsolve_s = make_grouped_solver(can_s, kkt_s, opts_s,
+                                           group_size=GB, drain_size=DB)
+        p2s = _params(dtype, tol=tol, feas_tol=feas, mu_init=6e-5,
+                      kappa_inner=2.0, prox=2.5e-3, max_iter=storm_cap)
 
         v0st = can_s.initial_point()
         lbs, ubs, fxs = can_s.bounds(can_s.nlp.inst0)
@@ -504,13 +533,13 @@ def main():
                                        (sb, can_s.n), dtype=dtype)
         v0ss = jnp.clip(v0st[None] + dvs, lbs[None], ubs[None])
         v0ss = jnp.where(fxs[None], lbs[None], v0ss)
+        g_insts_s = [can_s.nlp.inst0] * (sb // GB)
+        inst_s = _stack_instances([can_s.nlp.inst0] * sb)
         t0 = time.time()
-        os_ = run_storm(v0ss, p1, p2d, ph_n, ph_df)
-        jax.block_until_ready(os_.f)
+        os_ = gsolve_s(g_insts_s, inst_s, v0ss, p1, p2s, p2d, n1, -1.0)
         compile_s["storm"] = round(time.time() - t0, 1)
         t0 = time.time()
-        os_ = run_storm(v0ss, p1, p2d, ph_n, ph_df)
-        jax.block_until_ready(os_.f)
+        os_ = gsolve_s(g_insts_s, inst_s, v0ss, p1, p2s, p2d, n1, -1.0)
         sw = time.time() - t0
         compile_s["storm"] = round(compile_s["storm"] - sw, 1)
         cs = np.asarray(os_.converged)

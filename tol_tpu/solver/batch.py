@@ -101,6 +101,11 @@ def make_grouped_solver(can: CanonicalNLP, kkt_solve: Callable,
             return jax.vmap(
                 lambda s: phase_switch_state(can, s, p2, inst))(out.state)
 
+        # A dedicated shared-instance endgame program.  Reusing the drain
+        # program as the endgame (broadcasting the group instance) was
+        # measured and rejected: the per-lane instance gathers + Phase1
+        # param mixing it adds to the hot loop cost +27% of group wall
+        # (2.29 s vs 1.80 s for the 8-group flagship batch).
         @jax.jit
         def run_end(inst, st, p2):
             return jax.vmap(
