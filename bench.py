@@ -24,12 +24,13 @@ This is also how the BASELINE's "control-sequence error" metric is
 interpreted throughout (see BASELINE.md); control L2 vs the oracle is
 still reported in the detail block.
 
-Solver: ONE compiled while-loop program per mission (runtime ALMParams;
-the exploration -> endgame continuation runs in-loop with a per-lane
-phase flag), cyclic-reduction-ordered Pallas chain ("crp") — the low-
-depth elimination order is what preserves the Newton direction's flat-
-valley components in float32 (sequential orderings plateau ~40% above
-the optimality gate; see tol_tpu/ops/crkern.py).
+Solver: a TWO-BODY compiled program pair per mission (runtime ALMParams;
+the exploration dive runs as its own specialized program and hands its
+device-resident ALMStates to the endgame program — see
+tol_tpu/solver/batch.py), cyclic-reduction-ordered Pallas chain ("crp")
+— the low-depth elimination order is what preserves the Newton
+direction's flat-valley components in float32 (sequential orderings
+plateau ~40% above the optimality gate; see tol_tpu/ops/crkern.py).
 
 Execution geometry (r05): the batch runs through
 tol_tpu.solver.batch.make_grouped_solver — independent 128-lane groups,

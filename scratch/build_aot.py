@@ -24,12 +24,18 @@ if os.path.isdir(dst):
     shutil.rmtree(dst)
 os.makedirs(dst)
 
-# Unique-program names: the repo has exactly ONE live program per name,
-# so only the newest entry is current (older hashes = stale code).
-_UNIQUE = {"jit_run_storm", "jit_run_group", "jit_run_drain", "jit_run_g7",
-           "jit_run_ens", "jit_resume_ens", "jit_build_seeds",
-           "jit_pick_winner", "jit_gather_chunk", "jit__merge_fields",
-           "jit_train_step"}
+# Live-entry cap per program name.  r05: the grouped solver names
+# (run_dive/run_end/run_drain/gather_chunk/_merge_fields) are compiled
+# once per MISSION (s10/g7/storm), so up to 3 entries of a name are
+# live; single-mission programs keep 1.  Older hashes = stale code from
+# tuning experiments — dead weight whose keys never hit.
+_KEEP_N = {"jit_run_dive": 3, "jit_run_end": 3, "jit_run_drain": 3,
+           "jit_run_group": 0, "jit_gather_chunk": 3,
+           "jit__merge_fields": 3, "jit_run_storm": 0, "jit_run_g7": 0,
+           "jit_run_ens": 1, "jit_resume_ens": 1, "jit_build_seeds": 1,
+           "jit_pick_winner": 1, "jit_train_step": 1, "jit_run": 2,
+           "jit_kkt_solve": 2, "jit_while": 2, "jit__lambda": 3,
+           "jit_wrapped": 2}
 # Renamed/removed programs: never ship.
 _DEAD = {"jit_run_s10", "jit_dive", "jit_endgame"}
 
@@ -45,23 +51,17 @@ for name in sorted(os.listdir(src)):
         continue
     candidates.append((name, p, sz, age_h))
 
-newest = {}
-for name, p, sz, age_h in candidates:
-    prog = name.split("-")[0]
-    if prog in _UNIQUE:
-        if prog in newest and newest[prog][3] < age_h:
-            continue
-        newest[prog] = (name, p, sz, age_h)
-kept_names = {v[0] for v in newest.values()}
+by_prog = {}
+for item in candidates:
+    by_prog.setdefault(item[0].split("-")[0], []).append(item)
 
 total = 0
 kept = 0
-for name, p, sz, age_h in candidates:
-    prog = name.split("-")[0]
-    if prog in _UNIQUE and name not in kept_names:
-        continue
-    shutil.copy2(p, os.path.join(dst, name))
-    kept += 1
-    total += sz
-    print(f"  + {name[:60]:60s} {sz / 2**20:7.1f} MB  ({age_h:.1f} h)")
+for prog, items in sorted(by_prog.items()):
+    items.sort(key=lambda it: it[3])           # newest (smallest age) first
+    for name, p, sz, age_h in items[: _KEEP_N.get(prog, 3)]:
+        shutil.copy2(p, os.path.join(dst, name))
+        kept += 1
+        total += sz
+        print(f"  + {name[:60]:60s} {sz / 2**20:7.1f} MB  ({age_h:.1f} h)")
 print(f"kept {kept} entries, {total / 2**20:.0f} MB -> {dst}")
