@@ -346,7 +346,7 @@ def main():
         # with the chunk-128 kernels.  Deeper dual refinement (k=8/12)
         # and neighbor schedules measured and rejected.
         g7_iter = int(os.environ.get("BENCH_G7_ITER", "600"))
-        g7_cap = int(os.environ.get("BENCH_G7_CAP", "330"))
+        g7_cap = int(os.environ.get("BENCH_G7_CAP", "360"))
         g7_n1 = int(os.environ.get("BENCH_G7_N1", "40"))
         p_g = _params(dtype, tol=tol, feas_tol=feas, gamma_min=5e-6,
                       prox=2.5e-3, mu_init=6e-5, kappa_inner=2.0,
