@@ -507,9 +507,14 @@ def main():
         # Storm runs the same grouped + two-body + drain geometry as the
         # flagship (r05; was a monolithic 256-lane vmap paying max-lane
         # cost), with a 4-trial endgame line search: a model-3 constraint
-        # evaluation is ~5x a model-1 one (27-node spline stencil + AD),
-        # so the 8-trial Armijo's extra f/c evals dominated the storm
-        # iteration.  Quality is policed by the f64 storm-oracle gate.
+        # evaluation costs more than a model-1 one (27-node spline
+        # stencil + AD), so the 8-trial Armijo's extra f/c evals
+        # dominated the storm iteration.  Interpolation rides the
+        # axis-separated contraction (models/wind.py interp="auto" ->
+        # "separable"): one (Q, ny*nz) MXU matmul per query sweep —
+        # measured 47 -> 164 storm solves/s over the onehot lowering at
+        # identical gate results.  Quality is policed by the f64
+        # storm-oracle gate.
         storm_cap = int(os.environ.get("BENCH_STORM_CAP", "175"))
         storm_ls = int(os.environ.get("BENCH_STORM_LS", "4"))
         opts_s = ALMOptions(max_iter=2000, dual_refine_k=dual_k,

@@ -128,6 +128,30 @@ def test_model3_onehot_matches_gather():
                                    rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.parametrize("order", [1, 2])
+def test_model3_separable_matches_gather(order):
+    """The axis-separated contraction (the fast TPU lowering, r05) equals
+    the fused-gather path — same stencil, same weights, same extrapolation
+    clamp — for queries inside AND outside the grid, values and gradients,
+    batched and unbatched."""
+    grid = _grid()._replace(live=jnp.array([1.0, 1.0, 1.0]))
+    cfg_g = WindConfig(model=3, grid=grid, interp="gather", order=order)
+    cfg_s = WindConfig(model=3, grid=grid, interp="separable", order=order)
+    rng = np.random.default_rng(5)
+    ps = jnp.asarray(rng.uniform([-300, -300, -400], [300, 300, 100],
+                                 size=(16, 3)))
+    wg = jax.vmap(lambda p: wind_ned(cfg_g, p))(ps)
+    ws = jax.vmap(lambda p: wind_ned(cfg_s, p))(ps)
+    np.testing.assert_allclose(np.asarray(ws), np.asarray(wg),
+                               rtol=1e-10, atol=1e-10)
+    w1, g1 = wind_with_gradient_ned(cfg_g, ps[0])
+    w2, g2 = wind_with_gradient_ned(cfg_s, ps[0])
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w1),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               rtol=1e-8, atol=1e-12)
+
+
 def test_demo_storm_grid_is_nonuniform():
     """The bench storm field must NOT be exactly representable by the
     trilinear interpolant (VERDICT r04): mid-cell samples of the analytic

